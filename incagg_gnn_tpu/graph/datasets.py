@@ -1,0 +1,146 @@
+"""Dataset registry (reference: torch_geometric_autoscale/data.py:118-145).
+
+The reference downloads PyG/OGB datasets at runtime.  This environment has no
+network egress, so the registry supports two sources:
+
+1. **On-disk archives** in ``{root}/{name}/`` as ``.npz`` files holding
+   ``rowptr, col, x, y, train_mask, val_mask, test_mask`` (the standard
+   preprocessed format produced by ``scripts/convert_dataset.py`` from OGB /
+   GraphSAINT raw files).  Covers arxiv / products / reddit / flickr / yelp /
+   ppi / amazonproducts when the data is present.
+2. **Synthetic generators** — a stochastic block model whose community
+   structure gives METIS-style partitioners real locality and makes GNN
+   accuracy meaningfully exceed an MLP baseline, used for tests and
+   benchmarks (names ``sbm-small``, ``sbm-arxiv``, ``sbm-products`` or
+   parameterized via :func:`make_sbm`).
+
+All loaders return ``(GraphData, in_channels, out_channels)`` like the
+reference's ``get_data``.  Adjacencies are symmetrized, matching the
+reference's use of undirected ``adj_t`` (data.py:55-116 apply
+``ToSparseTensor`` on undirected graphs).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import numpy as np
+
+from incagg_gnn_tpu.graph.csr import CSRGraph, GraphData
+from incagg_gnn_tpu.utils.metrics import index2mask
+
+
+def make_sbm(
+    num_nodes: int = 2000,
+    num_classes: int = 8,
+    num_features: int = 32,
+    avg_degree: float = 10.0,
+    p_in: float = 0.85,
+    feature_noise: float = 1.0,
+    train_frac: float = 0.3,
+    val_frac: float = 0.2,
+    seed: int = 0,
+    multilabel: bool = False,
+) -> Tuple[GraphData, int, int]:
+    """Stochastic-block-model graph with class-correlated features.
+
+    Edges are sampled so a fraction ``p_in`` stays within the node's community
+    (community == label), giving both homophily (GNNs beat MLPs) and locality
+    (partitioners find low cuts).  The graph is symmetrized.
+    """
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, num_classes, size=num_nodes).astype(np.int32)
+
+    num_edges = int(num_nodes * avg_degree / 2)
+    src = rng.integers(0, num_nodes, size=num_edges)
+    intra = rng.random(num_edges) < p_in
+    # same-community targets: pick random members of src's community
+    order = np.argsort(y, kind="stable")
+    class_ptr = np.zeros(num_classes + 1, dtype=np.int64)
+    class_ptr[1:] = np.cumsum(np.bincount(y, minlength=num_classes))
+    cs = y[src]
+    rand_in_class = class_ptr[cs] + rng.integers(0, np.maximum(class_ptr[cs + 1] - class_ptr[cs], 1))
+    dst_intra = order[np.minimum(rand_in_class, num_nodes - 1)]
+    dst_inter = rng.integers(0, num_nodes, size=num_edges)
+    dst = np.where(intra, dst_intra, dst_inter)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    row = np.concatenate([src, dst])
+    col = np.concatenate([dst, src])
+    adj = CSRGraph.from_coo(row, col, num_nodes)
+
+    centers = rng.normal(size=(num_classes, num_features)).astype(np.float32)
+    x = centers[y] + feature_noise * rng.normal(size=(num_nodes, num_features)).astype(np.float32)
+
+    perm = rng.permutation(num_nodes)
+    n_train = int(train_frac * num_nodes)
+    n_val = int(val_frac * num_nodes)
+    train_mask = index2mask(perm[:n_train], num_nodes)
+    val_mask = index2mask(perm[n_train : n_train + n_val], num_nodes)
+    test_mask = index2mask(perm[n_train + n_val :], num_nodes)
+
+    if multilabel:
+        y_ml = np.zeros((num_nodes, num_classes), dtype=np.float32)
+        y_ml[np.arange(num_nodes), y] = 1.0
+        extra = rng.integers(0, num_classes, size=num_nodes)
+        y_ml[np.arange(num_nodes), extra] = 1.0
+        y_out: np.ndarray = y_ml
+    else:
+        y_out = y
+
+    data = GraphData(
+        adj_t=adj, x=x, y=y_out,
+        train_mask=train_mask, val_mask=val_mask, test_mask=test_mask,
+    )
+    return data, num_features, num_classes
+
+
+_SBM_PRESETS = {
+    # name: (num_nodes, num_classes, num_features, avg_degree)
+    "sbm-tiny": (400, 4, 16, 8.0),
+    "sbm-small": (2_000, 8, 32, 10.0),
+    "sbm-medium": (20_000, 16, 64, 12.0),
+    "sbm-arxiv": (169_343, 40, 128, 13.7),  # ogbn-arxiv scale
+    "sbm-products": (2_449_029, 47, 100, 50.0),  # ogbn-products scale
+    "sbm-reddit": (232_965, 41, 602, 100.0),  # reddit scale
+}
+
+
+def load_npz_dataset(root: str, name: str) -> Tuple[GraphData, int, int]:
+    """Load a preprocessed ``.npz`` dataset from ``{root}/{name}/data.npz``."""
+    path = os.path.join(root, name, "data.npz")
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"Dataset archive not found: {path}. Real datasets must be "
+            f"preprocessed to npz (rowptr,col,[value],x,y,train_mask,val_mask,"
+            f"test_mask); no network egress is available to download them."
+        )
+    z = np.load(path)
+    adj = CSRGraph(z["rowptr"], z["col"], z["value"] if "value" in z else None)
+    y = z["y"]
+    data = GraphData(
+        adj_t=adj,
+        x=z["x"].astype(np.float32),
+        y=y.astype(np.int32) if y.ndim == 1 else y.astype(np.float32),
+        train_mask=z["train_mask"].astype(bool),
+        val_mask=z["val_mask"].astype(bool),
+        test_mask=z["test_mask"].astype(bool),
+    )
+    in_c = data.num_features
+    out_c = data.num_classes
+    return data, in_c, out_c
+
+
+def get_data(root: str, name: str, **kwargs) -> Tuple[GraphData, int, int]:
+    """Dataset dispatch, mirroring the reference's ``get_data``
+    (data.py:118-145): arxiv/products/reddit/flickr/yelp/ppi/amazonproducts
+    resolve to on-disk archives; ``sbm-*`` names resolve to synthetic
+    generators (deterministic per seed)."""
+    name = name.lower()
+    if name in _SBM_PRESETS:
+        n, c, f, d = _SBM_PRESETS[name]
+        return make_sbm(num_nodes=n, num_classes=c, num_features=f, avg_degree=d, **kwargs)
+    if name == "sbm":
+        return make_sbm(**kwargs)
+    return load_npz_dataset(root, name)

@@ -1,0 +1,276 @@
+"""Subgraph batch construction with static (padded) shapes.
+
+Reference counterpart: ``SubgraphLoader`` / ``EvalSubgraphLoader``
+(loader.py:119-284) and the batch tuple ``SubData(data, batch_size, n_id,
+offset, count)`` (loader.py:95-104).  The data contract is preserved exactly
+(SURVEY §2.3):
+
+- a batch is a group of METIS-style clusters; ``n_id[:batch_size]`` are the
+  in-batch (IB) node global ids — contiguous cluster ranges in the permuted
+  order — and ``n_id[batch_size:]`` the out-of-batch (OB) 1-hop neighbors;
+- ``offset[k]/count[k]`` give cluster ``k``'s contiguous range in the global
+  permuted order (enables chunk-local pushes and, multi-host, tells which
+  host owns which rows).
+
+TPU delta: every batch is padded to bucketed static sizes (nodes, columns,
+edges) so XLA compiles a handful of programs instead of one per batch — the
+single biggest design change vs. the reference's fully dynamic GPU batches
+(SURVEY §7 "hard parts" #1).  Padded node slots index a zero trash row
+(``N``); padded edges carry weight 0.
+
+Three collate modes mirror the reference:
+
+- ``gas``  — full IB+OB one-hop graph (compute_subgraph, loader.py:172-192),
+- ``ib``   — IB-only graph for Reverb/VR training (compute_subgraph_IB,
+  loader.py:194-214; kernel relabel_cpu.cpp:112),
+- ``ns``   — IB+OB with per-row neighbor sampling (compute_subgraph_NS,
+  loader.py:217-246 — whose sampler this framework fixes, see graph/relabel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, List, NamedTuple, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from incagg_gnn_tpu.graph.csr import CSRGraph, GraphData
+from incagg_gnn_tpu.graph.relabel import (
+    relabel_one_hop,
+    relabel_one_hop_within_batch,
+    sample_neighbors,
+)
+from incagg_gnn_tpu.ops.spmm import PaddedAdj, build_padded_adj
+
+
+class SubgraphBatch(NamedTuple):
+    """Device-side batch (a pytree of arrays; static shapes per bucket).
+
+    ``n_id`` padding points at the trash row ``N``; ``push_idx[i]`` equals
+    ``n_id[i]`` for IB rows and ``N`` otherwise, so scatters of per-row
+    results into an ``[N+1, D]`` cache are always safe.
+    """
+
+    adj: PaddedAdj  # bipartite: rows=IB(padded), cols=IB+OB(padded)
+    n_id: jnp.ndarray  # [C_pad] int32
+    push_idx: jnp.ndarray  # [R_pad] int32
+    batch_size: jnp.ndarray  # () int32 — true IB count
+    num_nodes: jnp.ndarray  # () int32 — true IB+OB count
+
+
+@dataclasses.dataclass
+class HostBatch:
+    """Host metadata + the device batch. Iterating a loader yields these."""
+
+    device: SubgraphBatch
+    n_id: np.ndarray  # true (unpadded) global ids, IB first
+    batch_size: int
+    offset: np.ndarray  # [num_clusters_in_batch] int64
+    count: np.ndarray
+
+    @property
+    def num_nodes(self) -> int:
+        return int(self.n_id.shape[0])
+
+
+@dataclasses.dataclass
+class PadBuckets:
+    rows: int  # R_pad  (IB)
+    cols: int  # C_pad  (IB + OB)
+    edges: int  # E_pad
+
+    def fits(self, r: int, c: int, e: int) -> bool:
+        return r <= self.rows and c <= self.cols and e <= self.edges
+
+
+def _round_up(x: int, align: int) -> int:
+    return max(align, ((x + align - 1) // align) * align)
+
+
+class SubgraphLoader:
+    """Builds per-step subgraph batches from a cluster-permuted graph.
+
+    Args mirror the reference's ``SubgraphLoader`` (loader.py:119-149):
+    ``ptr`` is the cluster slice pointer from :func:`partition_graph`;
+    ``batch_size`` counts clusters per batch; ``mode`` selects the collate
+    variant; ``num_neighbors`` caps sampled degree in ``ns`` mode.
+    """
+
+    def __init__(
+        self,
+        data: GraphData,
+        ptr: np.ndarray,
+        batch_size: int = 1,
+        mode: str = "gas",
+        num_neighbors: int = -1,
+        shuffle: bool = False,
+        seed: int = 0,
+        bipartite: bool = True,
+        trash_node: Optional[int] = None,
+        align: int = 128,
+        pad_slack: float = 1.1,
+        log: bool = False,
+    ):
+        assert mode in ("gas", "ib", "ns")
+        self.data = data
+        self.adj = data.adj_t
+        self.ptr = np.asarray(ptr, dtype=np.int64)
+        self.batch_size = batch_size
+        self.mode = mode
+        self.num_neighbors = num_neighbors
+        self.shuffle = shuffle
+        self.seed = seed
+        self.bipartite = bipartite
+        self.align = align
+        self.pad_slack = pad_slack
+        self.trash_node = data.num_nodes if trash_node is None else trash_node
+        self.num_clusters = len(self.ptr) - 1
+        self._epoch = 0
+        self._cache: Optional[List[HostBatch]] = None
+        self.recompile_count = 0  # bumped whenever buckets grow
+
+        # Establish initial pad buckets from the deterministic grouping.
+        groups = self._groups(shuffled=False)
+        maxima = self._measure(groups)
+        slack = 1.0 if not shuffle else pad_slack
+        self.buckets = PadBuckets(
+            rows=_round_up(int(maxima[0] * slack), align),
+            cols=_round_up(int(maxima[1] * slack), align),
+            edges=_round_up(int(maxima[2] * slack), align),
+        )
+        if log:
+            print(
+                f"SubgraphLoader[{mode}]: {self.num_clusters} clusters, "
+                f"{len(groups)} batches, buckets=(R={self.buckets.rows}, "
+                f"C={self.buckets.cols}, E={self.buckets.edges})"
+            )
+
+    # ---------------- grouping ----------------
+    def _groups(self, shuffled: bool, epoch: int = 0) -> List[np.ndarray]:
+        """Group cluster ids into batches of ``batch_size`` clusters."""
+        order = np.arange(self.num_clusters)
+        if shuffled:
+            rng = np.random.default_rng((self.seed, epoch))
+            order = rng.permutation(order)
+        return [
+            order[i : i + self.batch_size]
+            for i in range(0, self.num_clusters, self.batch_size)
+        ]
+
+    def _group_nodes(self, cluster_ids: np.ndarray):
+        """IB node ids (concatenated cluster ranges) + offset/count metadata."""
+        offs = self.ptr[cluster_ids]
+        cnts = self.ptr[cluster_ids + 1] - offs
+        idx = np.concatenate(
+            [np.arange(o, o + c, dtype=np.int64) for o, c in zip(offs, cnts)]
+        ) if len(cluster_ids) else np.empty(0, np.int64)
+        return idx, offs, cnts
+
+    # ---------------- measurement (for bucket sizing) ----------------
+    def _measure(self, groups: Sequence[np.ndarray]):
+        """Upper-bound (rows, cols, edges) per batch without relabeling:
+        rows = IB count; edges <= sum of IB degrees; cols <= rows + edges."""
+        max_r = max_c = max_e = 1
+        deg = np.diff(self.adj.rowptr)
+        for g in groups:
+            offs = self.ptr[g]
+            cnts = self.ptr[g + 1] - offs
+            r = int(cnts.sum())
+            e = int(
+                sum(
+                    deg[o : o + c].sum() for o, c in zip(offs, cnts)
+                )
+            )
+            if self.mode == "ns" and self.num_neighbors >= 0:
+                e = min(e, r * self.num_neighbors)
+            c = r if self.mode == "ib" else min(self.data.num_nodes, r + e)
+            max_r, max_c, max_e = max(max_r, r), max(max_c, c), max(max_e, e)
+        return max_r, max_c, max_e
+
+    # ---------------- collate ----------------
+    def _collate(self, cluster_ids: np.ndarray, epoch: int, step: int) -> HostBatch:
+        idx, offs, cnts = self._group_nodes(cluster_ids)
+        bs = int(idx.shape[0])
+        if self.mode == "ib":
+            rowptr, col, value, n_id = relabel_one_hop_within_batch(
+                self.adj, idx, self.bipartite
+            )
+        else:
+            rowptr, col, value, n_id = relabel_one_hop(self.adj, idx, self.bipartite)
+            if self.mode == "ns" and self.num_neighbors >= 0:
+                rowptr, col, value = sample_neighbors(
+                    rowptr, col, value, self.num_neighbors,
+                    seed=hash((self.seed, epoch, step)) & 0x7FFFFFFF,
+                )
+        tot = int(n_id.shape[0])
+        r, e = bs, int(col.shape[0])
+        if not self.buckets.fits(r, tot, e):
+            self.buckets = PadBuckets(
+                rows=max(self.buckets.rows, _round_up(int(r * self.pad_slack), self.align)),
+                cols=max(self.buckets.cols, _round_up(int(tot * self.pad_slack), self.align)),
+                edges=max(self.buckets.edges, _round_up(int(e * self.pad_slack), self.align)),
+            )
+            self.recompile_count += 1
+
+        b = self.buckets
+        adj = build_padded_adj(rowptr, col, value, b.rows, b.cols, b.edges)
+
+        n_id_pad = np.full(b.cols, self.trash_node, dtype=np.int32)
+        n_id_pad[:tot] = n_id
+        push_idx = np.full(b.rows, self.trash_node, dtype=np.int32)
+        push_idx[:bs] = n_id[:bs]
+
+        device = SubgraphBatch(
+            adj=adj,
+            n_id=jnp.asarray(n_id_pad),
+            push_idx=jnp.asarray(push_idx),
+            batch_size=jnp.asarray(bs, dtype=jnp.int32),
+            num_nodes=jnp.asarray(tot, dtype=jnp.int32),
+        )
+        return HostBatch(device=device, n_id=n_id, batch_size=bs, offset=offs, count=cnts)
+
+    # ---------------- iteration ----------------
+    def __len__(self) -> int:
+        return -(-self.num_clusters // self.batch_size)
+
+    def __iter__(self) -> Iterator[HostBatch]:
+        if not self.shuffle:
+            if self._cache is None:
+                groups = self._groups(shuffled=False)
+                self._cache = [self._collate(g, 0, i) for i, g in enumerate(groups)]
+            yield from self._cache
+            return
+        epoch = self._epoch
+        self._epoch += 1
+        groups = self._groups(shuffled=True, epoch=epoch)
+        for i, g in enumerate(groups):
+            yield self._collate(g, epoch, i)
+
+
+class EvalSubgraphLoader(SubgraphLoader):
+    """Deterministic, precomputed loader for layer-wise inference / cache
+    refresh (reference: loader.py:266-284): coarsens ``ptr`` by ``batch_size``
+    clusters per batch, then iterates each coarse batch once."""
+
+    def __init__(
+        self,
+        data: GraphData,
+        ptr: np.ndarray,
+        batch_size: int = 1,
+        bipartite: bool = True,
+        **kwargs,
+    ):
+        ptr = np.asarray(ptr, dtype=np.int64)
+        coarse = ptr[::batch_size]
+        if coarse[-1] != data.num_nodes:
+            coarse = np.concatenate([coarse, [data.num_nodes]])
+        super().__init__(
+            data,
+            coarse,
+            batch_size=1,
+            mode="gas",
+            shuffle=False,
+            bipartite=bipartite,
+            **kwargs,
+        )

@@ -1,0 +1,3 @@
+from incagg_gnn_tpu.utils.metrics import compute_micro_f1, gen_masks, index2mask
+
+__all__ = ["compute_micro_f1", "gen_masks", "index2mask"]

@@ -1,0 +1,159 @@
+"""ctypes binding to the native C++ graph kernels (csrc/graph_ops.cpp).
+
+The library is compiled on first use with g++ (cached next to the source).
+All entry points degrade gracefully: callers fall back to numpy
+implementations when the native library is unavailable.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB: Optional["NativeGraphLib"] = None
+_TRIED = False
+
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "csrc")
+_SRC = os.path.join(_CSRC, "graph_ops.cpp")
+_SO = os.path.join(_CSRC, "libincagg_graph.so")
+
+_i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+_f32p = np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS")
+
+
+def _build() -> bool:
+    if not os.path.exists(_SRC):
+        return False
+    if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
+        return True
+    try:
+        subprocess.run(
+            [
+                "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+                _SRC, "-o", _SO,
+            ],
+            check=True,
+            capture_output=True,
+            timeout=240,
+        )
+        return True
+    except Exception:
+        return False
+
+
+class NativeGraphLib:
+    def __init__(self, dll: ctypes.CDLL):
+        self._dll = dll
+        dll.relabel_one_hop.restype = ctypes.c_int64
+        dll.relabel_one_hop.argtypes = [
+            _i64p, _i32p, ctypes.c_void_p, _i64p,
+            ctypes.c_int64, ctypes.c_int64, _i64p, _i64p, _i32p,
+            ctypes.c_void_p, _i64p,
+        ]
+        dll.relabel_one_hop_within_batch.restype = ctypes.c_int64
+        dll.relabel_one_hop_within_batch.argtypes = [
+            _i64p, _i32p, ctypes.c_void_p, _i64p,
+            ctypes.c_int64, ctypes.c_int64, _i64p, _i64p, _i32p,
+            ctypes.c_void_p,
+        ]
+        dll.partition.restype = None
+        dll.partition.argtypes = [
+            _i64p, _i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_uint64, _i64p,
+        ]
+        dll.sample_neighbors.restype = ctypes.c_int64
+        dll.sample_neighbors.argtypes = [
+            _i64p, _i32p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_uint64, _i64p, _i32p, ctypes.c_void_p,
+        ]
+        self._node_map: Optional[np.ndarray] = None
+
+    def _scratch(self, n: int) -> np.ndarray:
+        if self._node_map is None or self._node_map.shape[0] < n:
+            self._node_map = np.full(n, -1, dtype=np.int64)
+        return self._node_map
+
+    @staticmethod
+    def _fptr(a: Optional[np.ndarray]):
+        if a is None:
+            return None
+        return a.ctypes.data_as(ctypes.c_void_p)
+
+    def relabel_one_hop(self, rowptr, col, value, idx):
+        num_idx = idx.shape[0]
+        n = rowptr.shape[0] - 1
+        nnz = int((rowptr[idx + 1] - rowptr[idx]).sum())
+        out_rowptr = np.empty(num_idx + 1, dtype=np.int64)
+        out_col = np.empty(nnz, dtype=np.int32)
+        out_value = np.empty(nnz, dtype=np.float32) if value is not None else None
+        out_n_id = np.empty(num_idx + nnz, dtype=np.int64)
+        node_map = self._scratch(n)
+        total = self._dll.relabel_one_hop(
+            rowptr, col, self._fptr(value), np.ascontiguousarray(idx, dtype=np.int64),
+            num_idx, n, node_map, out_rowptr, out_col, self._fptr(out_value), out_n_id,
+        )
+        return out_rowptr, out_col, out_value, out_n_id[:total]
+
+    def relabel_one_hop_within_batch(self, rowptr, col, value, idx):
+        num_idx = idx.shape[0]
+        n = rowptr.shape[0] - 1
+        nnz = int((rowptr[idx + 1] - rowptr[idx]).sum())
+        out_rowptr = np.empty(num_idx + 1, dtype=np.int64)
+        out_col = np.empty(nnz, dtype=np.int32)
+        out_value = np.empty(nnz, dtype=np.float32) if value is not None else None
+        node_map = self._scratch(n)
+        kept = self._dll.relabel_one_hop_within_batch(
+            rowptr, col, self._fptr(value), np.ascontiguousarray(idx, dtype=np.int64),
+            num_idx, n, node_map, out_rowptr, out_col, self._fptr(out_value),
+        )
+        out_col = out_col[:kept]
+        if out_value is not None:
+            out_value = out_value[:kept]
+        return out_rowptr, out_col, out_value, np.ascontiguousarray(idx, dtype=np.int64)
+
+    def partition(self, rowptr, col, num_parts, refine_passes, seed):
+        n = rowptr.shape[0] - 1
+        out = np.empty(n, dtype=np.int64)
+        self._dll.partition(rowptr, col, n, num_parts, refine_passes, seed, out)
+        return out
+
+    def sample_neighbors(self, rowptr, col, value, num_neighbors, seed):
+        num_rows = rowptr.shape[0] - 1
+        nnz = col.shape[0]
+        out_rowptr = np.empty(num_rows + 1, dtype=np.int64)
+        out_col = np.empty(nnz, dtype=np.int32)
+        out_value = np.empty(nnz, dtype=np.float32) if value is not None else None
+        kept = self._dll.sample_neighbors(
+            rowptr, col, self._fptr(value), num_rows, num_neighbors, seed,
+            out_rowptr, out_col, self._fptr(out_value),
+        )
+        out_col = out_col[:kept]
+        if out_value is not None:
+            out_value = out_value[:kept]
+        return out_rowptr, out_col, out_value
+
+
+def get_native_lib() -> Optional[NativeGraphLib]:
+    """Load (building if needed) the native graph library; None on failure."""
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        if os.environ.get("INCAGG_DISABLE_NATIVE"):
+            return None
+        if _build():
+            try:
+                _LIB = NativeGraphLib(ctypes.CDLL(_SO))
+            except OSError:
+                _LIB = None
+    return _LIB

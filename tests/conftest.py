@@ -1,0 +1,36 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh so
+sharding/pjit paths are exercised without TPU hardware (the standard JAX
+trick; SURVEY §4 'multi-host' testing note)."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from incagg_gnn_tpu.graph.datasets import make_sbm  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def sbm_tiny():
+    data, in_c, out_c = make_sbm(num_nodes=400, num_classes=4, num_features=16,
+                                 avg_degree=8.0, seed=1)
+    return data, in_c, out_c
+
+
+@pytest.fixture(scope="session")
+def sbm_small():
+    data, in_c, out_c = make_sbm(num_nodes=2000, num_classes=8, num_features=32,
+                                 avg_degree=10.0, seed=2)
+    return data, in_c, out_c
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)
