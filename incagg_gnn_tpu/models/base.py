@@ -1,0 +1,280 @@
+"""ScalableGNN — the abstract model runtime.
+
+TPU-native counterpart of the reference's ``ScalableGNN`` (models/base.py:26):
+per-layer history caches, the GAS forward (``__call__``, base.py:126-240), the
+Reverb/VR forward (``VR_call``, base.py:242-378), ``push_and_pull``
+(base.py:380-456), and the layer-wise refresh sweeps ``mini_inference``
+(base.py:509-603) / ``mini_inference_vr`` (per model in the reference, e.g.
+gcn.py:335-410 — here implemented once, generically).
+
+Design deltas vs. the reference (all SURVEY §7):
+
+- Models are pure functions over parameter/state pytrees; histories are a
+  :class:`HistoryState` argument threaded through jitted steps and updated by
+  XLA scatters into donated buffers — there is no AsyncIOPool because HBM
+  residency + XLA dataflow subsumes it.
+- Each refresh layer-pass is one jitted program per (layer kind, bucket
+  shape); asynchrony across batches comes from JAX async dispatch.
+- The GAS/VR/refresh step semantics (what is pushed/pulled where, in which
+  space, at which layer index) follow the reference's "index change"
+  convention exactly: ``emb[l]`` = input of layer ``l``; ``emb_ag[l]`` =
+  aggregation of ``emb[l]`` over the full neighborhood.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from incagg_gnn_tpu.history import HistoryState, init_history
+from incagg_gnn_tpu.loader import SubgraphBatch
+from incagg_gnn_tpu.models.nn import pad_cols, pad_rows
+from incagg_gnn_tpu.ops.spmm import PaddedAdj, spmm, spmm_reduce
+
+Params = Any
+State = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class BaseConfig:
+    """Shared architecture knobs (reference: conf/model/*.yaml
+    ``params.<dataset>.architecture``)."""
+
+    num_nodes: int
+    in_channels: int
+    hidden_channels: int
+    out_channels: int
+    num_layers: int
+    dropout: float = 0.0
+
+
+class ScalableGNN:
+    """Abstract scalable GNN. Subclasses implement the per-model forwards."""
+
+    #: whether forward_layer needs the initial-residual x0 (GCNII / APPNP)
+    needs_x0 = False
+    #: aggregator used for the M_ag caches and the VR correction term:
+    #: "sum" = weighted sum with adjacency values (GCN/GCNII/APPNP);
+    #: "mean" = mean over binarized adjacency (GraphSAGE, graphsage.py:628)
+    vr_reduce = "sum"
+
+    def __init__(self, cfg: BaseConfig):
+        self.cfg = cfg
+        self._refresh_fns: Dict[Tuple, Any] = {}
+
+    # ---------------- abstract API ----------------
+    def init(self, rng) -> Tuple[Params, State]:
+        raise NotImplementedError
+
+    def forward_gas(
+        self,
+        params: Params,
+        state: State,
+        x: jnp.ndarray,
+        batch: SubgraphBatch,
+        hist_emb: jnp.ndarray,
+        rng: Optional[jax.Array],
+        training: bool,
+        aggregate_combined: bool = True,
+        use_aggregation: bool = True,
+    ) -> Tuple[jnp.ndarray, State, jnp.ndarray, Dict]:
+        """GAS training-step forward: per layer, compute, push IB rows into
+        ``emb[l+1]`` and pull OB rows from it (reference base.py:126-240 +
+        per-model forward).  Returns (logits[R_pad], state, emb, metrics)."""
+        raise NotImplementedError
+
+    def forward_vr(
+        self,
+        params: Params,
+        state: State,
+        x: jnp.ndarray,
+        batch: SubgraphBatch,
+        hist: HistoryState,
+        rng: Optional[jax.Array],
+        training: bool,
+        drift_norm: int = 2,
+    ) -> Tuple[jnp.ndarray, State, Dict]:
+        """Reverb/VR forward on an IB-only batch: per layer,
+        ``h = A_ib @ (x - M_in[l]) + M_ag[l]`` (reference base.py:242-378 +
+        per-model VR_forward).  No history writes during training."""
+        raise NotImplementedError
+
+    def forward_layer(
+        self,
+        params: Params,
+        state: State,
+        layer: int,
+        x: jnp.ndarray,
+        x0_ib: Optional[jnp.ndarray],
+        adj: PaddedAdj,
+        use_aggregation: bool = True,
+    ) -> jnp.ndarray:
+        """One layer for the layer-wise refresh sweep (eval mode, no dropout;
+        reference per-model ``forward_layer``)."""
+        raise NotImplementedError
+
+    def layer0_cache_input(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
+        """The model-space vector cached as ``M_in[0]`` (reference: e.g.
+        gcn.py:355 raw x; gcn2.py:451 ``lin0(x).relu()``; appnp.py:249-251
+        the MLP output)."""
+        return x
+
+    def layer_input_dim(self, layer: int) -> int:
+        """Feature width of layer ``layer``'s input (for slicing the cache)."""
+        raise NotImplementedError
+
+    def reg_mask(self, params: Params):
+        """Pytree of bools: True leaves get ``reg_weight_decay``, False get
+        ``nonreg_weight_decay`` (reference: main.py:196-201 param groups)."""
+        raise NotImplementedError
+
+    # ---------------- shared machinery ----------------
+    @property
+    def hist_dim(self) -> int:
+        return self.cfg.hidden_channels
+
+    def init_history(self, dtype=jnp.float32) -> HistoryState:
+        return init_history(
+            self.cfg.num_layers, self.cfg.num_nodes, self.hist_dim, dtype
+        )
+
+    def push_and_pull(
+        self,
+        hist_emb: jnp.ndarray,
+        slot: int,
+        h: jnp.ndarray,
+        batch: SubgraphBatch,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Push IB rows of ``h`` into ``emb[slot]`` and splice pulled OB rows
+        after them (reference base.py:380-456).  ``h: [R_pad, D] ->
+        x: [C_pad, D]``; the updated stacked emb is returned for threading."""
+        d = h.shape[1]
+        c_pad = batch.n_id.shape[0]
+        pushed = jax.lax.stop_gradient(pad_cols(h, self.hist_dim))
+        hist_emb = hist_emb.at[slot, batch.push_idx].set(
+            pushed.astype(hist_emb.dtype)
+        )
+        pulled = jnp.take(hist_emb[slot], batch.n_id, axis=0)[:, :d].astype(h.dtype)
+        ib = (jnp.arange(c_pad) < batch.batch_size)[:, None]
+        x = jnp.where(ib, pad_rows(h, c_pad), pulled)
+        return x, hist_emb
+
+    def vr_pull(
+        self, hist: HistoryState, layer: int, batch: SubgraphBatch, dim: int
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Gather the IB rows of ``M_in[layer]`` / ``M_ag[layer]`` (reference
+        base.py:318-323 chunked pulls + per-model ``synchronize_pull`` crops
+        ``[:batch_size, :x.shape[1]]``)."""
+        m_in = jnp.take(hist.emb[layer], batch.push_idx, axis=0)[:, :dim]
+        m_ag = jnp.take(hist.emb_ag[layer], batch.push_idx, axis=0)[:, :dim]
+        return (
+            jax.lax.stop_gradient(m_in.astype(jnp.float32)),
+            jax.lax.stop_gradient(m_ag.astype(jnp.float32)),
+        )
+
+    def vr_aggregate(self, adj: PaddedAdj, x: jnp.ndarray) -> jnp.ndarray:
+        """The aggregation used for both the VR correction term and the M_ag
+        refresh: weighted-sum for normalized adjacencies, binary mean for
+        SAGE (reference graphsage.py:896-898 ``spmm(adj_none, x, conv.aggr)``)."""
+        if self.vr_reduce == "sum":
+            return spmm(adj, x)
+        return spmm_reduce(adj.binarized(), x, self.vr_reduce)
+
+    # ---------------- layer-wise refresh (mini_inference[_vr]) ----------------
+    def _refresh_layer_fn(self, layer: int, vr: bool, use_aggregation: bool):
+        """Build (and cache) the jitted single-layer refresh pass."""
+        key = (layer, vr, use_aggregation)
+        if key in self._refresh_fns:
+            return self._refresh_fns[key]
+
+        L = self.cfg.num_layers
+        D = self.hist_dim
+
+        def fn(params, state, hist: HistoryState, x_table, out_table, batch: SubgraphBatch):
+            adj = batch.adj
+            r_pad = adj.num_rows
+            emb, emb_ag = hist.emb, hist.emb_ag
+            if layer == 0:
+                x_in = jnp.take(x_table, batch.n_id, axis=0)
+                if vr or self.needs_x0:
+                    m0 = self.layer0_cache_input(params, x_in)
+                    emb = emb.at[0, batch.push_idx].set(
+                        pad_cols(m0[:r_pad], D).astype(emb.dtype)
+                    )
+                    if vr:
+                        ag0 = self.vr_aggregate(adj, m0)
+                        emb_ag = emb_ag.at[0, batch.push_idx].set(
+                            pad_cols(ag0, D).astype(emb_ag.dtype)
+                        )
+            else:
+                dim = self.layer_input_dim(layer)
+                x_in = jnp.take(emb[layer], batch.n_id, axis=0)[:, :dim].astype(
+                    jnp.float32
+                )
+                if vr:
+                    ag = self.vr_aggregate(adj, x_in)
+                    emb_ag = emb_ag.at[layer, batch.push_idx].set(
+                        pad_cols(ag, D).astype(emb_ag.dtype)
+                    )
+            x0_ib = None
+            if self.needs_x0 and layer > 0:
+                # layer 0 computes x0 inline in forward_layer; later layers
+                # read it back from the emb[0] cache written at layer 0
+                x0_ib = jnp.take(emb[0], batch.push_idx, axis=0)[
+                    :, : self.x0_dim
+                ].astype(jnp.float32)
+            out = self.forward_layer(
+                params, state, layer, x_in, x0_ib, adj, use_aggregation
+            )
+            if layer < L - 1:
+                emb = emb.at[layer + 1, batch.push_idx].set(
+                    pad_cols(out[:r_pad], D).astype(emb.dtype)
+                )
+            else:
+                out_table = out_table.at[batch.push_idx].set(out[:r_pad])
+            return HistoryState(emb, emb_ag), out_table
+
+        jfn = jax.jit(fn, donate_argnums=(2, 4))
+        self._refresh_fns[key] = jfn
+        return jfn
+
+    #: feature width of the x0 cache (overridden where needs_x0)
+    x0_dim = 0
+
+    def refresh(
+        self,
+        params: Params,
+        state: State,
+        x_table: jnp.ndarray,
+        loader,
+        hist: HistoryState,
+        out_table: Optional[jnp.ndarray] = None,
+        vr: bool = False,
+        use_aggregation: bool = True,
+    ) -> Tuple[np.ndarray, HistoryState, jnp.ndarray]:
+        """Layer-wise sweep over all eval batches: recompute every layer's
+        history (and, with ``vr=True``, the M_in/M_ag caches) and return the
+        full-graph logits.
+
+        Reference: ``mini_inference`` (base.py:509-603) /
+        ``mini_inference_vr`` (e.g. gcn.py:335-410); called once before
+        training to fill the caches and after every training epoch
+        (main.py:210-215, 231-236).
+        """
+        n = self.cfg.num_nodes
+        if out_table is None:
+            out_table = jnp.zeros((n + 1, self.cfg.out_channels), jnp.float32)
+        batches = list(loader)
+        for layer in range(self.cfg.num_layers):
+            jfn = self._refresh_layer_fn(layer, vr, use_aggregation)
+            for hb in batches:
+                hist, out_table = jfn(
+                    params, state, hist, x_table, out_table, hb.device
+                )
+        logits = np.asarray(out_table[:n])
+        return logits, hist, out_table

@@ -1,0 +1,202 @@
+"""PNA — Principal Neighborhood Aggregation (reference: models/pna.py).
+
+The reference's custom ``PNAConv`` (pna.py:24-84, not stock PyG): for each
+(aggregator, scaler) pair a pre-Linear + ReLU, the aggregation, a post-Linear
+and a degree scaler, summed over pairs, plus a root ``lin(x)`` term:
+
+    out = Σ_{(aggr, scaler)} scaler(deg) · post_lin(aggr(A, relu(pre_lin(x))))
+          + lin(x)[:R]
+
+Scalers (pna.py:77-81): identity, amplification ``log(d+1)/avg_log_deg``,
+attenuation ``avg_log_deg/(log(d+1)+eps)``; ``avg_deg`` statistics come from
+the full-graph degree vector (pna.py:36-39, fed from main.py:182).
+
+Reverb status: the reference's PNA ``VR_forward`` is experimental — the VR
+path is commented out and it propagates plainly over the batch graph
+("mock", pna.py:235,270).  Because each branch aggregates a *different*
+nonlinear transform, a faithful VR rule needs one (M_in, M_ag) pair per
+branch; we keep the reference's shipped behavior (plain IB propagation) and
+document it, so PNA trains in VR mode with the same semantics the reference
+actually runs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from incagg_gnn_tpu.history import HistoryState
+from incagg_gnn_tpu.models.base import BaseConfig, ScalableGNN
+from incagg_gnn_tpu.models.nn import (
+    batchnorm,
+    batchnorm_init,
+    dropout,
+    linear,
+    linear_init,
+)
+from incagg_gnn_tpu.ops.spmm import PaddedAdj, spmm_reduce
+
+EPS = 1e-5
+
+
+@dataclasses.dataclass(frozen=True)
+class PNAConfig(BaseConfig):
+    aggregators: Sequence[str] = ("mean", "max", "min", "sum")
+    scalers: Sequence[str] = ("identity", "amplification", "attenuation")
+    avg_deg_lin: float = 1.0  # mean(deg) over the full graph (pna.py:36-39)
+    avg_deg_log: float = 1.0  # mean(log(deg+1))
+    drop_input: bool = True
+    batch_norm: bool = False
+    residual: bool = False
+
+
+def compute_avg_deg(degrees: np.ndarray):
+    """Degree statistics for the scalers (pna.py:35-39)."""
+    deg = degrees.astype(np.float64)
+    return float(deg.mean()), float(np.log(deg + 1).mean())
+
+
+def pna_conv(p, cfg: PNAConfig, x: jnp.ndarray, adj: PaddedAdj) -> jnp.ndarray:
+    """One PNAConv application (pna.py:60-84)."""
+    bin_adj = adj.binarized()
+    deg = bin_adj.deg[:, None]
+    out = 0.0
+    i = 0
+    for aggr in cfg.aggregators:
+        for scaler in cfg.scalers:
+            h = jax.nn.relu(linear(p["pre"][i], x))
+            h = spmm_reduce(bin_adj, h, aggr)
+            h = linear(p["post"][i], h)
+            if scaler == "amplification":
+                h = h * (jnp.log(deg + 1) / cfg.avg_deg_log)
+            elif scaler == "attenuation":
+                h = h * (cfg.avg_deg_log / (jnp.log(deg + 1) + EPS))
+            out = out + h
+            i += 1
+    return out + linear(p["lin"], x)[: adj.num_rows]
+
+
+class PNA(ScalableGNN):
+    cfg: PNAConfig
+    vr_reduce = "mean"
+
+    def init(self, rng):
+        c = self.cfg
+        keys = jax.random.split(rng, c.num_layers)
+        convs, bns_p, bns_s = [], [], []
+        nb = len(c.aggregators) * len(c.scalers)
+        for i in range(c.num_layers):
+            in_dim = c.in_channels if i == 0 else c.hidden_channels
+            out_dim = c.out_channels if i == c.num_layers - 1 else c.hidden_channels
+            ks = jax.random.split(keys[i], 2 * nb + 1)
+            convs.append({
+                "pre": [linear_init(ks[j], in_dim, out_dim) for j in range(nb)],
+                "post": [linear_init(ks[nb + j], out_dim, out_dim) for j in range(nb)],
+                "lin": linear_init(ks[-1], in_dim, out_dim),
+            })
+        for _ in range(max(c.num_layers - 1, 1)):
+            bp, bs = batchnorm_init(c.hidden_channels)
+            bns_p.append(bp)
+            bns_s.append(bs)
+        return {"convs": convs, "bns": bns_p}, {"bns": bns_s}
+
+    def layer_input_dim(self, layer: int) -> int:
+        return self.cfg.in_channels if layer == 0 else self.cfg.hidden_channels
+
+    def layer0_cache_input(self, params, x):
+        return x
+
+    def reg_mask(self, params):
+        # pna.py:125-131: reg = convs[:-1] + bns, nonreg = last conv
+        c = self.cfg
+        return {
+            "convs": [
+                jax.tree.map(lambda _: i < c.num_layers - 1, p)
+                for i, p in enumerate(params["convs"])
+            ],
+            "bns": jax.tree.map(lambda _: True, params["bns"]),
+        }
+
+    def _post(self, params, state, layer, h, x_prev, valid, training):
+        c = self.cfg
+        new_bn = state["bns"][layer]
+        if c.batch_norm:
+            h, new_bn = batchnorm(params["bns"][layer], state["bns"][layer], h,
+                                  valid, training)
+        if c.residual and h.shape[-1] == x_prev.shape[-1]:
+            h = h + x_prev[: h.shape[0]]
+        return jax.nn.relu(h), new_bn
+
+    # ---------------- GAS forward (pna.py:138-158) ----------------
+    def forward_gas(self, params, state, x, batch, hist_emb, rng, training,
+                    aggregate_combined=True, use_aggregation=True):
+        c = self.cfg
+        r_pad = batch.adj.num_rows
+        valid = jnp.arange(r_pad) < batch.batch_size
+        nk = c.num_layers + 2
+        keys = jax.random.split(rng, nk) if rng is not None else [None] * nk
+        k = iter(range(nk))
+
+        if c.drop_input:
+            x = dropout(keys[next(k)], x, c.dropout, training)
+        adj = batch.adj if aggregate_combined else batch.adj.mask_in_batch(batch.batch_size)
+        new_bns = list(state["bns"])
+        for l in range(c.num_layers - 1):
+            h = pna_conv(params["convs"][l], c, x, adj)
+            h, new_bns[l] = self._post(params, state, l, h, x, valid, training)
+            x, hist_emb = self.push_and_pull(hist_emb, l + 1, h, batch)
+            x = dropout(keys[next(k)], x, c.dropout, training)
+        out = pna_conv(params["convs"][-1], c, x, adj)
+
+        real = batch.adj.vals != 0
+        ib = real & (batch.adj.cols < batch.batch_size)
+        aux = {"num_in_batch_neighbors": ib.sum(),
+               "num_out_batch_neighbors": real.sum() - ib.sum()}
+        return out, {"bns": new_bns}, hist_emb, aux
+
+    # ---------------- VR forward (pna.py:162-278 "mock") ----------------
+    def forward_vr(self, params, state, x, batch, hist: HistoryState, rng,
+                   training, drift_norm: int = 2):
+        """Plain propagation over the IB-only batch graph — the reference's
+        shipped PNA VR behavior (pna.py:235,270: VR algebra commented out,
+        'mock' propagate).  Stale-neighbor information enters only through the
+        periodic refresh keeping histories warm for eval."""
+        c = self.cfg
+        r_pad = batch.adj.num_rows
+        valid = jnp.arange(r_pad) < batch.batch_size
+        nk = c.num_layers + 2
+        keys = jax.random.split(rng, nk) if rng is not None else [None] * nk
+        k = iter(range(nk))
+
+        if c.drop_input:
+            x = dropout(keys[next(k)], x, c.dropout, training)
+        new_bns = list(state["bns"])
+        drift = jnp.zeros(())
+        for l in range(c.num_layers - 1):
+            x_ib_prev = x[:r_pad]
+            m_in, _ = self.vr_pull(hist, l, batch, min(x.shape[1], self.hist_dim))
+            d = x_ib_prev[:, : m_in.shape[1]] - m_in
+            drift += jnp.sqrt((d * d).sum(-1) + 1e-12).sum() / jnp.maximum(batch.batch_size, 1)
+            h = pna_conv(params["convs"][l], c, x, batch.adj)
+            h, new_bns[l] = self._post(params, state, l, h, x, valid, training)
+            x = dropout(keys[next(k)], h, c.dropout, training)
+        out = pna_conv(params["convs"][-1], c, x, batch.adj)
+        aux = {"drift": drift / max(c.num_layers - 1, 1)}
+        return out, {"bns": new_bns}, aux
+
+    # ---------------- layer-wise eval (pna.py:282-295) ----------------
+    def forward_layer(self, params, state, layer, x, x0_ib, adj, use_aggregation=True):
+        c = self.cfg
+        h = pna_conv(params["convs"][layer], c, x, adj)
+        if layer < c.num_layers - 1:
+            if c.batch_norm:
+                h, _ = batchnorm(params["bns"][layer], state["bns"][layer], h,
+                                 None, training=False)
+            if c.residual and h.shape[-1] == x.shape[-1]:
+                h = h + x[: h.shape[0]]
+            h = jax.nn.relu(h)
+        return h

@@ -1,0 +1,429 @@
+"""Multi-chip spatially-sharded Reverb/VR training.
+
+The reference trains all clusters sequentially on one GPU (SURVEY §2.1).
+Here the cluster set is bin-packed over a device mesh (``parallel/layout``):
+
+- histories, features, labels and masks live in slab layout
+  ``[n_dev * slab, ...]`` sharded ``P('data')`` over the node axis — each
+  device holds exactly its clusters' rows in HBM;
+- Reverb/VR training batches are IB-only (loader mode 'ib'), so every pull a
+  device makes (``M_in``/``M_ag`` of its own in-batch rows) is **local to its
+  shard** — the training step needs zero cross-device data movement except a
+  gradient ``psum`` over ICI;
+- the periodic layer-wise refresh needs out-of-batch neighbors, which may
+  live on other devices: each layer pass ``all_gather``s the previous layer's
+  cache over the mesh (halo exchange; a ppermute ring with static halo index
+  sets is the planned optimization — SURVEY §5.7/§7 step 9), computes the
+  batch, and scatters results into the local slab;
+- parameters, optimizer state and BN state are replicated; gradients and BN
+  running-stat updates are ``psum``/``pmean``-ed.
+
+Everything runs under ``shard_map`` so each device executes the single-chip
+model code on its local slab — the single-chip and multi-chip compute paths
+are literally the same functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from incagg_gnn_tpu.graph.csr import GraphData, gcn_norm, permute
+from incagg_gnn_tpu.graph.partition import partition_graph
+from incagg_gnn_tpu.graph.relabel import relabel_one_hop, relabel_one_hop_within_batch
+from incagg_gnn_tpu.history import HistoryState
+from incagg_gnn_tpu.loader import SubgraphBatch
+from incagg_gnn_tpu.models.base import ScalableGNN
+from incagg_gnn_tpu.models.nn import pad_cols
+from incagg_gnn_tpu.ops.spmm import build_padded_adj
+from incagg_gnn_tpu.parallel.layout import ShardLayout, build_shard_layout, scatter_table
+from incagg_gnn_tpu.parallel.mesh import make_mesh
+from incagg_gnn_tpu.train.optim import make_optimizer
+from incagg_gnn_tpu.train.steps import masked_loss
+from incagg_gnn_tpu.train.trainer import TrainerConfig
+from incagg_gnn_tpu.utils.metrics import compute_micro_f1
+
+
+def _round_up(x: int, a: int) -> int:
+    return max(a, ((x + a - 1) // a) * a)
+
+
+@dataclasses.dataclass
+class _DevBatch:
+    """Host-side per-device batch in slab row space."""
+
+    adj_args: tuple  # (rowptr, col, value)
+    n_id_rows: np.ndarray  # node rows (global row space for refresh, local for train)
+    push_idx_local: np.ndarray
+    batch_size: int
+    num_nodes: int
+
+
+class ShardedVRTrainer:
+    """Data+spatial-parallel Reverb trainer over a 1-D device mesh."""
+
+    def __init__(self, model: ScalableGNN, data: GraphData, cfg: TrainerConfig,
+                 mesh: Optional[Mesh] = None, n_devices: Optional[int] = None,
+                 log: bool = False):
+        assert cfg.vr_update, "ShardedVRTrainer implements the Reverb/VR mode"
+        self.model = model
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_mesh(n_devices)
+        self.n_dev = self.mesh.devices.size
+        self.axis = self.mesh.axis_names[0]
+
+        # ---- partition / permute / transforms (as single-chip) ----
+        perm, ptr = partition_graph(data.adj_t, cfg.num_parts, seed=cfg.seed)
+        data = permute(data, perm)
+        if cfg.loop:
+            data.adj_t = data.adj_t.set_diag()
+        if cfg.norm:
+            data.adj_t = gcn_norm(data.adj_t, add_self_loops=False)
+        self.data = data
+        self.ptr = ptr
+        self.multilabel = data.multilabel
+
+        # ---- slab layout ----
+        self.layout = build_shard_layout(ptr, self.n_dev)
+        lay = self.layout
+
+        # ---- sharded tables ----
+        row_x = scatter_table(lay, data.x.astype(np.float32))
+        if data.y.ndim == 1:
+            row_y = scatter_table(lay, data.y.astype(np.int32))
+        else:
+            row_y = scatter_table(lay, data.y.astype(np.float32))
+        row_tm = scatter_table(lay, data.train_mask.astype(bool), fill=False)
+
+        node_sh = NamedSharding(self.mesh, P(self.axis))
+        node_sh2 = NamedSharding(self.mesh, P(self.axis, None))
+        self.x_tab = jax.device_put(row_x, node_sh2)
+        self.y_tab = jax.device_put(row_y, node_sh if row_y.ndim == 1 else node_sh2)
+        self.tm_tab = jax.device_put(row_tm, node_sh)
+
+        # ---- sharded history ----
+        hist_dtype = jnp.bfloat16 if cfg.hist_dtype == "bfloat16" else jnp.float32
+        L, D = model.cfg.num_layers, model.hist_dim
+        hist_sh = NamedSharding(self.mesh, P(None, self.axis, None))
+        self.hist = HistoryState(
+            emb=jax.device_put(jnp.zeros((L, lay.num_rows, D), hist_dtype), hist_sh),
+            emb_ag=jax.device_put(jnp.zeros((L, lay.num_rows, D), hist_dtype), hist_sh),
+        )
+        self.out_tab = jax.device_put(
+            jnp.zeros((lay.num_rows, model.cfg.out_channels), jnp.float32), node_sh2
+        )
+
+        # ---- params / optimizer (replicated) ----
+        rng = jax.random.PRNGKey(cfg.seed)
+        rng, init_key = jax.random.split(rng)
+        self.rng = rng
+        self.params, self.state = model.init(init_key)
+        self.tx = make_optimizer(model.reg_mask(self.params), cfg.lr,
+                                 cfg.reg_weight_decay, cfg.nonreg_weight_decay,
+                                 cfg.grad_norm)
+        self.opt_state = self.tx.init(self.params)
+
+        # ---- batches ----
+        self._build_train_batches()
+        self._build_eval_batches()
+        self._step_fn = None
+        self._refresh_fns: Dict = {}
+        self._train_mask_host = row_tm
+        if log:
+            print(f"ShardedVRTrainer: {self.n_dev} devices, slab={lay.slab}, "
+                  f"{self._train_rounds} train rounds, {self._eval_rounds} eval rounds")
+
+    # ------------------------------------------------------------------
+    def _clusters_of_dev(self) -> List[np.ndarray]:
+        return [np.nonzero(self.layout.dev_of_cluster == d)[0]
+                for d in range(self.n_dev)]
+
+    def _group(self, clusters: np.ndarray, k: int) -> List[np.ndarray]:
+        return [clusters[i : i + k] for i in range(0, len(clusters), k)] or [
+            np.empty(0, np.int64)
+        ]
+
+    def _cluster_nodes(self, cids: np.ndarray) -> np.ndarray:
+        if len(cids) == 0:
+            return np.empty(0, np.int64)
+        return np.concatenate([
+            np.arange(self.ptr[c], self.ptr[c + 1], dtype=np.int64) for c in cids
+        ])
+
+    def _build_train_batches(self):
+        """Per-device IB-only batches with slab-local indices, padded to a
+        common (rounds × bucket) schedule."""
+        lay = self.layout
+        per_dev = [self._group(c, self.cfg.batch_size) for c in self._clusters_of_dev()]
+        rounds = max(len(g) for g in per_dev)
+        self._train_rounds = rounds
+        # measure buckets
+        max_r = max_e = 1
+        raw: List[List[_DevBatch]] = []
+        for d in range(self.n_dev):
+            lst = []
+            for g in per_dev[d]:
+                idx = self._cluster_nodes(g)
+                rowptr, col, value, n_id = relabel_one_hop_within_batch(
+                    self.data.adj_t, idx)
+                rows_local = lay.node_to_row[idx] - d * lay.slab
+                lst.append(_DevBatch((rowptr, col, value), rows_local,
+                                     rows_local, len(idx), len(idx)))
+                max_r = max(max_r, len(idx))
+                max_e = max(max_e, len(col))
+            raw.append(lst)
+        r_pad = _round_up(max_r, 8)
+        e_pad = _round_up(max_e, 8)
+        trash = lay.local_trash()
+
+        stacks = []
+        for i in range(rounds):
+            per_round = []
+            for d in range(self.n_dev):
+                b = raw[d][i % len(raw[d])] if raw[d] else None
+                per_round.append(self._pack(b, r_pad, r_pad, e_pad, trash))
+            stacks.append(jax.tree.map(lambda *xs: np.stack(xs), *per_round))
+        self._train_stacks = [
+            jax.device_put(
+                jax.tree.map(jnp.asarray, s),
+                jax.tree.map(lambda _: NamedSharding(self.mesh, P(self.axis)), s),
+            )
+            for s in stacks
+        ]
+
+    def _build_eval_batches(self):
+        """Per-device GAS (IB+OB) refresh batches; n_id in *global row* space
+        (OB rows may belong to other slabs)."""
+        lay = self.layout
+        per_dev = [self._group(c, self.cfg.eval_batch_size)
+                   for c in self._clusters_of_dev()]
+        rounds = max(len(g) for g in per_dev)
+        self._eval_rounds = rounds
+        max_r = max_c = max_e = 1
+        raw: List[List[_DevBatch]] = []
+        for d in range(self.n_dev):
+            lst = []
+            for g in per_dev[d]:
+                idx = self._cluster_nodes(g)
+                rowptr, col, value, n_id = relabel_one_hop(self.data.adj_t, idx)
+                n_rows = lay.node_to_row[n_id]  # global rows incl. OB
+                push_local = lay.node_to_row[idx] - d * lay.slab
+                lst.append(_DevBatch((rowptr, col, value), n_rows, push_local,
+                                     len(idx), len(n_id)))
+                max_r = max(max_r, len(idx))
+                max_c = max(max_c, len(n_id))
+                max_e = max(max_e, len(col))
+            raw.append(lst)
+        r_pad = _round_up(max_r, 8)
+        c_pad = _round_up(max_c, 8)
+        e_pad = _round_up(max_e, 8)
+
+        stacks = []
+        for i in range(rounds):
+            per_round = []
+            for d in range(self.n_dev):
+                b = raw[d][i % len(raw[d])] if raw[d] else None
+                # global trash row for this device's slab
+                gtrash = d * lay.slab + lay.local_trash()
+                per_round.append(
+                    self._pack(b, r_pad, c_pad, e_pad, lay.local_trash(),
+                               n_id_fill=gtrash)
+                )
+            stacks.append(jax.tree.map(lambda *xs: np.stack(xs), *per_round))
+        self._eval_stacks = [
+            jax.device_put(
+                jax.tree.map(jnp.asarray, s),
+                jax.tree.map(lambda _: NamedSharding(self.mesh, P(self.axis)), s),
+            )
+            for s in stacks
+        ]
+
+    def _pack(self, b: Optional[_DevBatch], r_pad, c_pad, e_pad, trash_local,
+              n_id_fill: Optional[int] = None) -> SubgraphBatch:
+        """Pad one host batch to the bucket as numpy SubgraphBatch leaves."""
+        fill = trash_local if n_id_fill is None else n_id_fill
+        if b is None:
+            b = _DevBatch((np.zeros(1, np.int64), np.empty(0, np.int32), None),
+                          np.empty(0, np.int64), np.empty(0, np.int64), 0, 0)
+        rowptr, col, value = b.adj_args
+        adj = build_padded_adj(rowptr, col, value, r_pad, c_pad, e_pad)
+        adj = jax.tree.map(np.asarray, adj)
+        n_id = np.full(c_pad, fill, dtype=np.int32)
+        n_id[: b.num_nodes] = b.n_id_rows
+        push = np.full(r_pad, trash_local, dtype=np.int32)
+        push[: b.batch_size] = b.push_idx_local
+        return SubgraphBatch(
+            adj=adj,
+            n_id=n_id,
+            push_idx=push,
+            batch_size=np.asarray(b.batch_size, np.int32),
+            num_nodes=np.asarray(b.num_nodes, np.int32),
+        )
+
+    # ------------------------------------------------------------------
+    def _make_step(self):
+        model, cfg, axis = self.model, self.cfg, self.axis
+        mesh = self.mesh
+        P_ = P
+
+        def local_step(params, opt_state, state, hist, batch, x_tab, y_tab,
+                       tm_tab, rng):
+            batch = jax.tree.map(lambda a: a[0] if a.ndim > 0 else a, batch)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+            x = jnp.take(x_tab, batch.n_id, axis=0)
+            y = jnp.take(y_tab, batch.push_idx, axis=0)
+            mask = jnp.take(tm_tab, batch.push_idx, axis=0)
+            mask = mask & (jnp.arange(batch.push_idx.shape[0]) < batch.batch_size)
+
+            def loss_fn(p):
+                out, new_state, aux = model.forward_vr(
+                    p, state, x, batch, hist, rng, True, cfg.drift_norm)
+                loss, n = masked_loss(out, y, mask, self.multilabel)
+                return loss, (new_state, n)
+
+            (loss, (new_state, n)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            # weight each device's grads by its train-node count, then
+            # normalize — equivalent to a global mean over train nodes
+            grads = jax.tree.map(lambda g: g * n, grads)
+            n_tot = jax.lax.psum(n, axis)
+            grads = jax.tree.map(
+                lambda g: jax.lax.psum(g, axis) / jnp.maximum(n_tot, 1.0), grads)
+            loss_tot = jax.lax.psum(loss * n, axis) / jnp.maximum(n_tot, 1.0)
+            new_state = jax.tree.map(
+                lambda a, b: jax.lax.pmean(b, axis), state, new_state)
+            import optax
+            updates, new_opt = self.tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_opt, new_state, loss_tot, n_tot
+
+        rep = P_()
+        node = P_(axis)
+        node2 = P_(axis, None)
+        hist_spec = HistoryState(P_(None, axis, None), P_(None, axis, None))
+        batch_spec = jax.tree.map(lambda _: P_(axis), self._train_stacks[0])
+        y_spec = node if self.y_tab.ndim == 1 else node2
+
+        smapped = shard_map(
+            local_step, mesh=mesh,
+            in_specs=(rep, rep, rep, hist_spec, batch_spec, node2, y_spec, node, rep),
+            out_specs=(rep, rep, rep, rep, rep),
+            check_rep=False,
+        )
+        return jax.jit(smapped, donate_argnums=(0, 1, 2))
+
+    def _make_refresh_layer(self, layer: int):
+        """One sharded refresh layer pass: all_gather the source table over
+        the mesh (halo exchange), compute each device's batch, scatter results
+        into local slabs."""
+        model, axis = self.model, self.axis
+        L, D = model.cfg.num_layers, model.hist_dim
+
+        def local_fn(params, state, hist, x_tab, out_tab, batch):
+            batch = jax.tree.map(lambda a: a[0] if a.ndim > 0 else a, batch)
+            emb, emb_ag = hist.emb, hist.emb_ag  # local slabs [L, slab, D]
+            r_pad = batch.adj.num_rows
+            if layer == 0:
+                x_full = jax.lax.all_gather(x_tab, axis, tiled=True)
+                x_in = jnp.take(x_full, batch.n_id, axis=0)
+                m0 = model.layer0_cache_input(params, x_in)
+                if model.needs_x0 or True:  # emb[0] always cached in VR mode
+                    emb = emb.at[0, batch.push_idx].set(
+                        pad_cols(m0[:r_pad], D).astype(emb.dtype))
+                ag0 = model.vr_aggregate(batch.adj, m0)
+                emb_ag = emb_ag.at[0, batch.push_idx].set(
+                    pad_cols(ag0, D).astype(emb_ag.dtype))
+            else:
+                dim = model.layer_input_dim(layer)
+                src_full = jax.lax.all_gather(emb[layer], axis, tiled=True)
+                x_in = jnp.take(src_full, batch.n_id, axis=0)[:, :dim].astype(
+                    jnp.float32)
+                ag = model.vr_aggregate(batch.adj, x_in)
+                emb_ag = emb_ag.at[layer, batch.push_idx].set(
+                    pad_cols(ag, D).astype(emb_ag.dtype))
+            x0_ib = None
+            if model.needs_x0 and layer > 0:
+                x0_ib = jnp.take(emb[0], batch.push_idx, axis=0)[
+                    :, : model.x0_dim].astype(jnp.float32)
+            out = model.forward_layer(params, state, layer, x_in, x0_ib, batch.adj)
+            if layer < L - 1:
+                emb = emb.at[layer + 1, batch.push_idx].set(
+                    pad_cols(out[:r_pad], D).astype(emb.dtype))
+            else:
+                out_tab = out_tab.at[batch.push_idx].set(out[:r_pad])
+            return HistoryState(emb, emb_ag), out_tab
+
+        P_ = P
+        rep = P_()
+        node2 = P_(axis, None)
+        hist_spec = HistoryState(P_(None, axis, None), P_(None, axis, None))
+        batch_spec = jax.tree.map(lambda _: P_(axis), self._eval_stacks[0])
+        smapped = shard_map(
+            local_fn, mesh=self.mesh,
+            in_specs=(rep, rep, hist_spec, node2, node2, batch_spec),
+            out_specs=(hist_spec, node2),
+            check_rep=False,
+        )
+        return jax.jit(smapped, donate_argnums=(2, 4))
+
+    # ------------------------------------------------------------------
+    def refresh(self) -> np.ndarray:
+        for layer in range(self.model.cfg.num_layers):
+            if layer not in self._refresh_fns:
+                self._refresh_fns[layer] = self._make_refresh_layer(layer)
+            fn = self._refresh_fns[layer]
+            for stack in self._eval_stacks:
+                self.hist, self.out_tab = fn(
+                    self.params, self.state, self.hist, self.x_tab,
+                    self.out_tab, stack)
+        out_rows = np.asarray(self.out_tab)
+        valid = self.layout.row_to_node >= 0
+        logits = np.zeros((self.data.num_nodes, out_rows.shape[1]), np.float32)
+        logits[self.layout.row_to_node[valid]] = out_rows[valid]
+        return logits
+
+    fill_history = refresh
+
+    def train_epoch(self) -> Dict[str, float]:
+        if self._step_fn is None:
+            self._step_fn = self._make_step()
+        total_loss = total_n = 0.0
+        steps = 0
+        for stack in self._train_stacks:
+            self.rng, key = jax.random.split(self.rng)
+            (self.params, self.opt_state, self.state, loss, n) = self._step_fn(
+                self.params, self.opt_state, self.state, self.hist, stack,
+                self.x_tab, self.y_tab, self.tm_tab, key)
+            total_loss += float(loss) * float(n)
+            total_n += float(n)
+            steps += 1
+            if steps >= self.cfg.max_steps > 0:
+                break
+        return {"loss": total_loss / max(total_n, 1.0), "steps": steps}
+
+    def evaluate(self) -> Dict[str, float]:
+        logits = self.refresh()
+        d = self.data
+        return {
+            "train_acc": compute_micro_f1(logits, d.y, d.train_mask),
+            "val_acc": compute_micro_f1(logits, d.y, d.val_mask),
+            "test_acc": compute_micro_f1(logits, d.y, d.test_mask),
+        }
+
+    def fit(self, epochs: Optional[int] = None) -> Dict[str, float]:
+        epochs = self.cfg.epochs if epochs is None else epochs
+        self.refresh()
+        best_val = best_test = 0.0
+        for _ in range(epochs):
+            self.train_epoch()
+            ev = self.evaluate()
+            if ev["val_acc"] > best_val:
+                best_val, best_test = ev["val_acc"], ev["test_acc"]
+        return {"best_val": best_val, "best_test": best_test}

@@ -1,0 +1,204 @@
+"""High-level training driver (reference: main.py).
+
+Orchestrates: partition → permute → normalize → loaders → model/optimizer →
+history fill → epoch loop (train steps + periodic layer-wise refresh + eval),
+mirroring main.py:112-264 while keeping every device-side step jitted and
+donated.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from incagg_gnn_tpu.graph.csr import GraphData, gcn_norm, permute
+from incagg_gnn_tpu.graph.partition import partition_graph
+from incagg_gnn_tpu.loader import EvalSubgraphLoader, SubgraphLoader
+from incagg_gnn_tpu.models.base import ScalableGNN
+from incagg_gnn_tpu.train.optim import make_optimizer
+from incagg_gnn_tpu.train.steps import make_gas_train_step, make_vr_train_step
+from incagg_gnn_tpu.train.tables import make_tables
+from incagg_gnn_tpu.utils.metrics import compute_micro_f1
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    """Trainer knobs (reference: conf/model/*.yaml params + CLI ++overrides,
+    SURVEY §5.6 — all flags declared here, unlike the reference)."""
+
+    num_parts: int = 8
+    batch_size: int = 1  # clusters per training batch
+    vr_update: bool = False  # False = GAS, True = Reverb/VR (conf.VR_update)
+    num_neighbors: int = -1  # per-row sampling cap for GAS train loader
+    max_steps: int = -1  # abort epoch after N steps (staleness knob)
+    lr: float = 0.01
+    reg_weight_decay: float = 0.0
+    nonreg_weight_decay: float = 0.0
+    grad_norm: Optional[float] = None
+    edge_dropout: float = 0.0
+    epochs: int = 100
+    seed: int = 42
+    loop: bool = True  # add self-loops (conf.model.loop)
+    norm: bool = True  # gcn-normalize (conf.model.norm)
+    aggregate_combined: bool = True
+    use_aggregation: bool = True
+    drift_norm: int = 2
+    log_every: int = 1
+    eval_batch_size: int = 1  # clusters per eval batch (conf.batch_size reuse)
+    hist_dtype: str = "float32"  # or "bfloat16" to halve cache HBM
+
+
+class Trainer:
+    def __init__(self, model: ScalableGNN, data: GraphData, cfg: TrainerConfig,
+                 log: bool = False):
+        self.cfg = cfg
+        self.model = model
+        self.log = log
+        t = time.perf_counter()
+
+        # --- partition & permute (main.py:144-145) ---
+        perm, ptr = partition_graph(data.adj_t, cfg.num_parts, seed=cfg.seed)
+        data = permute(data, perm)
+        self.perm = perm
+        self.ptr = ptr
+
+        # --- graph transforms (main.py:147-151) ---
+        if cfg.loop:
+            data.adj_t = data.adj_t.set_diag()
+        if cfg.norm:
+            data.adj_t = gcn_norm(data.adj_t, add_self_loops=False)
+        self.data = data
+        self.weighted_adj = data.adj_t.value is not None
+        self.multilabel = data.multilabel
+
+        # --- loaders (main.py:158-164) ---
+        train_mode = "ib" if cfg.vr_update else (
+            "ns" if cfg.num_neighbors >= 0 else "gas"
+        )
+        self.train_loader = SubgraphLoader(
+            data, ptr, batch_size=cfg.batch_size, mode=train_mode,
+            num_neighbors=cfg.num_neighbors, shuffle=True, seed=cfg.seed,
+        )
+        self.eval_loader = EvalSubgraphLoader(data, ptr, batch_size=cfg.eval_batch_size)
+
+        # --- model / optimizer / history ---
+        rng = jax.random.PRNGKey(cfg.seed)
+        rng, init_key = jax.random.split(rng)
+        self.rng = rng
+        self.params, self.state = model.init(init_key)
+        self.tx = make_optimizer(
+            model.reg_mask(self.params), cfg.lr, cfg.reg_weight_decay,
+            cfg.nonreg_weight_decay, cfg.grad_norm,
+        )
+        self.opt_state = self.tx.init(self.params)
+        hist_dtype = jnp.bfloat16 if cfg.hist_dtype == "bfloat16" else jnp.float32
+        self.hist = model.init_history(dtype=hist_dtype)
+        self.tables = make_tables(data)
+        self.out_table = jnp.zeros(
+            (data.num_nodes + 1, model.cfg.out_channels), jnp.float32
+        )
+
+        step_kwargs = dict(
+            multilabel=self.multilabel,
+            edge_dropout_p=cfg.edge_dropout,
+            weighted_adj=self.weighted_adj,
+        )
+        if cfg.vr_update:
+            self._step = make_vr_train_step(
+                model, self.tx, drift_norm=cfg.drift_norm, **step_kwargs
+            )
+        else:
+            self._step = make_gas_train_step(
+                model, self.tx,
+                aggregate_combined=cfg.aggregate_combined,
+                use_aggregation=cfg.use_aggregation,
+                **step_kwargs,
+            )
+
+        # train-node counts per batch are needed host-side to skip empty
+        # batches (main.py:65-66)
+        self._train_mask_host = np.concatenate([data.train_mask, [False]])
+
+        self.max_steps = (
+            cfg.max_steps if cfg.max_steps != -1
+            else max(1, cfg.num_parts // cfg.batch_size)
+        )
+        if log:
+            print(f"Trainer ready [{time.perf_counter() - t:.2f}s]")
+
+    # ---------------- phases ----------------
+    def fill_history(self) -> np.ndarray:
+        """Initial cache fill via the layer-wise sweep (main.py:210-215)."""
+        logits, self.hist, self.out_table = self.model.refresh(
+            self.params, self.state, self.tables.x, self.eval_loader, self.hist,
+            self.out_table, vr=self.cfg.vr_update,
+            use_aggregation=self.cfg.use_aggregation,
+        )
+        return logits
+
+    def train_epoch(self) -> Dict[str, float]:
+        """One training epoch (mini_train, main.py:47-96)."""
+        total_loss = total_n = 0.0
+        steps = 0
+        for hb in self.train_loader:
+            if not self._train_mask_host[hb.n_id[: hb.batch_size]].any():
+                continue
+            self.rng, key = jax.random.split(self.rng)
+            if self.cfg.vr_update:
+                self.params, self.opt_state, self.state, metrics = self._step(
+                    self.params, self.opt_state, self.state, self.hist,
+                    hb.device, self.tables, key,
+                )
+            else:
+                self.params, self.opt_state, self.state, emb, metrics = self._step(
+                    self.params, self.opt_state, self.state, self.hist.emb,
+                    hb.device, self.tables, key,
+                )
+                self.hist = self.hist._replace(emb=emb)
+            n = float(metrics["num_train"])
+            total_loss += float(metrics["loss"]) * n
+            total_n += n
+            steps += 1
+            if steps >= self.max_steps:
+                break
+        return {"loss": total_loss / max(total_n, 1.0), "steps": steps}
+
+    def evaluate(self) -> Dict[str, float]:
+        """Layer-wise inference + cache refresh, then micro-F1 on all splits
+        (main.py:231-249)."""
+        logits, self.hist, self.out_table = self.model.refresh(
+            self.params, self.state, self.tables.x, self.eval_loader, self.hist,
+            self.out_table, vr=self.cfg.vr_update,
+            use_aggregation=self.cfg.use_aggregation,
+        )
+        d = self.data
+        return {
+            "train_acc": compute_micro_f1(logits, d.y, d.train_mask),
+            "val_acc": compute_micro_f1(logits, d.y, d.val_mask),
+            "test_acc": compute_micro_f1(logits, d.y, d.test_mask),
+        }
+
+    def fit(self, epochs: Optional[int] = None) -> Dict[str, float]:
+        """Full loop: fill → (train, refresh+eval)×epochs (main.py:226-264)."""
+        epochs = self.cfg.epochs if epochs is None else epochs
+        self.fill_history()
+        best_val = best_test = 0.0
+        history = []
+        for epoch in range(epochs):
+            tr = self.train_epoch()
+            ev = self.evaluate()
+            if ev["val_acc"] > best_val:
+                best_val, best_test = ev["val_acc"], ev["test_acc"]
+            history.append({**tr, **ev})
+            if self.log and epoch % self.cfg.log_every == 0:
+                print(
+                    f"Epoch {epoch:04d} loss {tr['loss']:.4f} "
+                    f"train {ev['train_acc']:.4f} val {ev['val_acc']:.4f} "
+                    f"test {ev['test_acc']:.4f} (best {best_test:.4f})"
+                )
+        return {"best_val": best_val, "best_test": best_test, "history": history}

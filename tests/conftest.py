@@ -4,15 +4,35 @@ trick; SURVEY §4 'multi-host' testing note)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the session env pins JAX to the TPU tunnel ("axon"), which would
+# run eager test code remotely (slow) and with TPU matmul precision (bf16
+# inputs) that breaks the golden allclose gates.  NOTE this environment's JAX
+# build ignores the JAX_PLATFORMS env var (the axon plugin wins platform
+# selection), so the config API must be used before any backend init.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu_backend():
+    import jax
+
+    backend = jax.default_backend()
+    assert backend == "cpu", (
+        f"tests must run on the virtual CPU mesh, got backend={backend!r} "
+        f"(JAX initialized before conftest could set JAX_PLATFORMS?)"
+    )
 
 from incagg_gnn_tpu.graph.datasets import make_sbm  # noqa: E402
 

@@ -1,0 +1,294 @@
+"""Golden + e2e tests for GCN2 / APPNP / GraphSAGE / PNA / PNA_JK / GAT.
+
+Each model's layer-wise refresh output is validated against a dense numpy
+oracle implementing the reference layer math; exact-VR models (GCN2, APPNP,
+GraphSAGE) additionally satisfy the fresh-cache identity
+``A_ib@(x−M_in)+M_ag == A_full@x``; every model then must learn on a
+homophilous SBM in both GAS and VR modes.
+"""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from incagg_gnn_tpu.models import (
+    APPNP, APPNPConfig, GAT, GATConfig, GCN2, GCN2Config,
+    GraphSAGE, SAGEConfig, PNA, PNAConfig, PNA_JK, PNAJKConfig,
+    compute_avg_deg,
+)
+from incagg_gnn_tpu.train.trainer import Trainer, TrainerConfig
+
+
+def dense_adj(adj, binary=False):
+    n = adj.num_nodes
+    d = np.zeros((n, n))
+    row, col, val = adj.to_coo()
+    d[row, col] = 1.0 if (binary or val is None) else val
+    return d
+
+
+def lin(p, x):
+    y = x @ np.asarray(p["w"])
+    if "b" in p:
+        y = y + np.asarray(p["b"])
+    return y
+
+
+# ---------------- dense oracles (reference layer math) ----------------
+
+def dense_gcn2(params, cfg, a, x):
+    h = np.maximum(lin(params["lins"][0], x), 0)
+    x0 = h
+    for l in range(cfg.num_layers):
+        beta = math.log(cfg.theta / (l + 1) + 1)
+        xh = (1 - cfg.alpha) * (a @ h)
+        xx0 = cfg.alpha * x0
+        if cfg.shared_weights:
+            s = xh + xx0
+            h = (1 - beta) * s + beta * (s @ np.asarray(params["convs"][l]["w1"]))
+        else:
+            h = ((1 - beta) * xh + beta * (xh @ np.asarray(params["convs"][l]["w1"]))
+                 + (1 - beta) * xx0 + beta * (xx0 @ np.asarray(params["convs"][l]["w2"])))
+        h = np.maximum(h, 0)
+    return lin(params["lins"][1], h)
+
+
+def dense_appnp(params, cfg, a, x):
+    h = np.maximum(lin(params["lins"][0], x), 0)
+    h = lin(params["lins"][1], h)
+    x0 = h
+    for _ in range(cfg.num_layers):
+        h = (1 - cfg.alpha) * (a @ h) + cfg.alpha * x0
+    return h
+
+
+def dense_sage(params, cfg, ab, x):
+    """ab: binary adjacency (SAGE always binarizes)."""
+    deg = np.maximum(ab.sum(1, keepdims=True), 1)
+    h = x
+    for l in range(cfg.num_layers):
+        agg = (ab @ h) / deg
+        z = lin(params["convs"][l]["lin_l"], agg) + lin(params["convs"][l]["lin_r"], h)
+        h = np.maximum(z, 0) if l < cfg.num_layers - 1 else z
+    return h
+
+
+def dense_pna(params, cfg, ab, x):
+    deg = ab.sum(1, keepdims=True)
+    h = x
+    for l in range(cfg.num_layers):
+        out = 0.0
+        i = 0
+        for aggr in cfg.aggregators:
+            for scaler in cfg.scalers:
+                z = np.maximum(lin(params["convs"][l]["pre"][i], h), 0)
+                if aggr == "mean":
+                    g = (ab @ z) / np.maximum(deg, 1)
+                elif aggr == "sum":
+                    g = ab @ z
+                elif aggr == "max":
+                    g = np.where(
+                        deg > 0,
+                        np.stack([
+                            z[ab[r] > 0].max(0) if (ab[r] > 0).any() else np.zeros(z.shape[1])
+                            for r in range(ab.shape[0])
+                        ]),
+                        0.0,
+                    )
+                elif aggr == "min":
+                    g = np.where(
+                        deg > 0,
+                        np.stack([
+                            z[ab[r] > 0].min(0) if (ab[r] > 0).any() else np.zeros(z.shape[1])
+                            for r in range(ab.shape[0])
+                        ]),
+                        0.0,
+                    )
+                g = lin(params["convs"][l]["post"][i], g)
+                if scaler == "amplification":
+                    g = g * (np.log(deg + 1) / cfg.avg_deg_log)
+                elif scaler == "attenuation":
+                    g = g * (cfg.avg_deg_log / (np.log(deg + 1) + 1e-5))
+                out = out + g
+                i += 1
+        z = out + lin(params["convs"][l]["lin"], h)
+        h = np.maximum(z, 0) if l < cfg.num_layers - 1 else z
+    return h
+
+
+def make_trainer(model_cls, cfg, data, vr, num_parts=1, **tkw):
+    tcfg = TrainerConfig(num_parts=num_parts, batch_size=1, vr_update=vr,
+                         seed=0, **tkw)
+    return Trainer(model_cls(cfg), data, tcfg)
+
+
+class TestGCN2:
+    def _cfg(self, data, in_c, out_c, **kw):
+        return GCN2Config(num_nodes=data.num_nodes, in_channels=in_c,
+                          hidden_channels=24, out_channels=out_c, num_layers=3,
+                          dropout=0.0, drop_input=False, alpha=0.1, theta=0.5, **kw)
+
+    @pytest.mark.parametrize("shared", [True, False])
+    def test_refresh_matches_dense(self, sbm_tiny, shared):
+        data, in_c, out_c = sbm_tiny
+        tr = make_trainer(GCN2, self._cfg(data, in_c, out_c, shared_weights=shared), data, vr=False)
+        logits = tr.fill_history()
+        a = dense_adj(tr.data.adj_t)
+        expected = dense_gcn2(tr.params, tr.model.cfg, a, tr.data.x)
+        assert np.allclose(logits, expected, atol=2e-3, rtol=1e-3)
+
+    def test_vr_fresh_exact(self, sbm_tiny):
+        data, in_c, out_c = sbm_tiny
+        tr = make_trainer(GCN2, self._cfg(data, in_c, out_c), data, vr=True)
+        tr.fill_history()
+        hb = next(iter(tr.train_loader))
+        x = jnp.take(tr.tables.x, hb.device.n_id, axis=0)
+        out, _, m = tr.model.forward_vr(tr.params, tr.state, x, hb.device,
+                                        tr.hist, None, training=False)
+        a = dense_adj(tr.data.adj_t)
+        expected = dense_gcn2(tr.params, tr.model.cfg, a, tr.data.x)
+        bs = hb.batch_size
+        assert np.allclose(np.asarray(out[:bs])[np.argsort(hb.n_id[:bs])],
+                           expected, atol=2e-3, rtol=1e-3)
+        assert float(m["drift"]) < 1e-3
+
+    def test_gas_forward_matches_dense(self, sbm_tiny):
+        data, in_c, out_c = sbm_tiny
+        tr = make_trainer(GCN2, self._cfg(data, in_c, out_c), data, vr=False)
+        hb = next(iter(tr.train_loader))
+        x = jnp.take(tr.tables.x, hb.device.n_id, axis=0)
+        out, _, _, _ = tr.model.forward_gas(tr.params, tr.state, x, hb.device,
+                                            tr.hist.emb, None, training=False)
+        a = dense_adj(tr.data.adj_t)
+        expected = dense_gcn2(tr.params, tr.model.cfg, a, tr.data.x)
+        bs = hb.batch_size
+        assert np.allclose(np.asarray(out[:bs])[np.argsort(hb.n_id[:bs])],
+                           expected, atol=2e-3, rtol=1e-3)
+
+
+class TestAPPNP:
+    def _cfg(self, data, in_c, out_c):
+        return APPNPConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                           hidden_channels=24, out_channels=out_c,
+                           num_layers=3, dropout=0.0, alpha=0.15)
+
+    def test_refresh_matches_dense(self, sbm_tiny):
+        data, in_c, out_c = sbm_tiny
+        tr = make_trainer(APPNP, self._cfg(data, in_c, out_c), data, vr=False)
+        logits = tr.fill_history()
+        a = dense_adj(tr.data.adj_t)
+        expected = dense_appnp(tr.params, tr.model.cfg, a, tr.data.x)
+        assert np.allclose(logits, expected, atol=2e-3, rtol=1e-3)
+
+    def test_vr_fresh_exact(self, sbm_tiny):
+        data, in_c, out_c = sbm_tiny
+        tr = make_trainer(APPNP, self._cfg(data, in_c, out_c), data, vr=True)
+        tr.fill_history()
+        hb = next(iter(tr.train_loader))
+        x = jnp.take(tr.tables.x, hb.device.n_id, axis=0)
+        out, _, m = tr.model.forward_vr(tr.params, tr.state, x, hb.device,
+                                        tr.hist, None, training=False)
+        a = dense_adj(tr.data.adj_t)
+        expected = dense_appnp(tr.params, tr.model.cfg, a, tr.data.x)
+        bs = hb.batch_size
+        assert np.allclose(np.asarray(out[:bs])[np.argsort(hb.n_id[:bs])],
+                           expected, atol=2e-3, rtol=1e-3)
+        assert float(m["drift"]) < 1e-3
+
+
+class TestSAGE:
+    def _cfg(self, data, in_c, out_c):
+        return SAGEConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                          hidden_channels=24, out_channels=out_c, num_layers=2,
+                          dropout=0.0, drop_input=False)
+
+    def test_refresh_matches_dense(self, sbm_tiny):
+        data, in_c, out_c = sbm_tiny
+        tr = make_trainer(GraphSAGE, self._cfg(data, in_c, out_c), data, vr=False)
+        logits = tr.fill_history()
+        ab = dense_adj(tr.data.adj_t, binary=True)
+        expected = dense_sage(tr.params, tr.model.cfg, ab, tr.data.x)
+        assert np.allclose(logits, expected, atol=2e-3, rtol=1e-3)
+
+    def test_vr_fresh_exact(self, sbm_tiny):
+        data, in_c, out_c = sbm_tiny
+        tr = make_trainer(GraphSAGE, self._cfg(data, in_c, out_c), data, vr=True)
+        tr.fill_history()
+        hb = next(iter(tr.train_loader))
+        x = jnp.take(tr.tables.x, hb.device.n_id, axis=0)
+        out, _, m = tr.model.forward_vr(tr.params, tr.state, x, hb.device,
+                                        tr.hist, None, training=False)
+        ab = dense_adj(tr.data.adj_t, binary=True)
+        expected = dense_sage(tr.params, tr.model.cfg, ab, tr.data.x)
+        bs = hb.batch_size
+        assert np.allclose(np.asarray(out[:bs])[np.argsort(hb.n_id[:bs])],
+                           expected, atol=2e-3, rtol=1e-3)
+        assert float(m["drift"]) < 1e-3
+
+
+class TestPNA:
+    def test_refresh_matches_dense(self, sbm_tiny):
+        data, in_c, out_c = sbm_tiny
+        lin_d, log_d = compute_avg_deg(data.adj_t.degrees() + 1)  # +1: set_diag
+        cfg = PNAConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                        hidden_channels=16, out_channels=out_c, num_layers=2,
+                        dropout=0.0, drop_input=False,
+                        aggregators=("mean", "sum"), scalers=("identity", "amplification"),
+                        avg_deg_lin=lin_d, avg_deg_log=log_d)
+        tr = make_trainer(PNA, cfg, data, vr=False)
+        logits = tr.fill_history()
+        ab = dense_adj(tr.data.adj_t, binary=True)
+        expected = dense_pna(tr.params, tr.model.cfg, ab, tr.data.x)
+        assert np.allclose(logits, expected, atol=3e-3, rtol=1e-3)
+
+
+class TestTraining:
+    """Every model family must learn on the SBM in both modes."""
+
+    def _fit(self, sbm_small, model_cls, cfg_cls, vr, epochs=8, thresh=0.75, **ck):
+        data, in_c, out_c = sbm_small
+        cfg = cfg_cls(num_nodes=data.num_nodes, in_channels=in_c,
+                      hidden_channels=32, out_channels=out_c, num_layers=2,
+                      dropout=0.1, **ck)
+        tcfg = TrainerConfig(num_parts=8, batch_size=2, vr_update=vr,
+                             epochs=epochs, lr=0.01, seed=0)
+        res = Trainer(model_cls(cfg), data, tcfg).fit()
+        assert res["best_test"] > thresh, res["best_test"]
+
+    def test_gcn2_gas(self, sbm_small):
+        self._fit(sbm_small, GCN2, GCN2Config, vr=False, drop_input=False)
+
+    def test_gcn2_vr(self, sbm_small):
+        self._fit(sbm_small, GCN2, GCN2Config, vr=True, drop_input=False)
+
+    def test_appnp_gas(self, sbm_small):
+        self._fit(sbm_small, APPNP, APPNPConfig, vr=False, alpha=0.2)
+
+    def test_appnp_vr(self, sbm_small):
+        self._fit(sbm_small, APPNP, APPNPConfig, vr=True, alpha=0.2)
+
+    def test_sage_gas(self, sbm_small):
+        self._fit(sbm_small, GraphSAGE, SAGEConfig, vr=False, drop_input=False)
+
+    def test_sage_vr(self, sbm_small):
+        self._fit(sbm_small, GraphSAGE, SAGEConfig, vr=True, drop_input=False)
+
+    def test_pna_gas(self, sbm_small):
+        data, *_ = sbm_small
+        lin_d, log_d = compute_avg_deg(data.adj_t.degrees() + 1)
+        self._fit(sbm_small, PNA, PNAConfig, vr=False, epochs=6,
+                  drop_input=False, aggregators=("mean", "max"),
+                  scalers=("identity",), avg_deg_lin=lin_d, avg_deg_log=log_d)
+
+    def test_pna_jk_gas(self, sbm_small):
+        data, *_ = sbm_small
+        lin_d, log_d = compute_avg_deg(data.adj_t.degrees() + 1)
+        self._fit(sbm_small, PNA_JK, PNAJKConfig, vr=False, epochs=6,
+                  drop_input=False, aggregators=("mean",),
+                  scalers=("identity",), avg_deg_lin=lin_d, avg_deg_log=log_d)
+
+    def test_gat_gas(self, sbm_small):
+        self._fit(sbm_small, GAT, GATConfig, vr=False, epochs=8,
+                  hidden_heads=2, out_heads=1)
