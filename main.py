@@ -1,0 +1,112 @@
+"""CLI trainer (reference: main.py, Hydra-driven).
+
+Usage:
+    python main.py --model conf/model/gcn.yaml --dataset arxiv [key=value ...]
+    python main.py --model conf/model/gcn2.yaml --dataset sbm-small vr_update=true
+
+Overrides accept any TrainerConfig field (vr_update, num_parts, batch_size,
+lr, epochs, seed, max_steps, edge_dropout, aggregate_combined,
+use_aggregation, num_neighbors, drift_norm, hist_dtype, ...) or architecture
+keys — all declared, unlike the reference's undeclared ++flags (SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+import time
+
+log = logging.getLogger("incagg_gnn_tpu")
+
+
+def build_model(run_cfg, data, in_c, out_c):
+    from incagg_gnn_tpu.models import MODEL_REGISTRY, compute_avg_deg
+
+    cls, cfg_cls = MODEL_REGISTRY[run_cfg.model]
+    arch = dict(run_cfg.architecture)
+    if run_cfg.model.startswith("PNA"):
+        # degree statistics for scalers (reference main.py:181-182)
+        lin_d, log_d = compute_avg_deg(data.adj_t.degrees())
+        arch.setdefault("avg_deg_lin", lin_d)
+        arch.setdefault("avg_deg_log", log_d)
+        if "aggregators" in arch:
+            arch["aggregators"] = tuple(arch["aggregators"])
+        if "scalers" in arch:
+            arch["scalers"] = tuple(arch["scalers"])
+    cfg = cfg_cls(num_nodes=data.num_nodes, in_channels=in_c,
+                  out_channels=out_c, **arch)
+    return cls(cfg)
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", required=True, help="path to a conf/model YAML")
+    ap.add_argument("--dataset", required=True)
+    ap.add_argument("--root", default="/tmp/datasets")
+    ap.add_argument("--n-devices", type=int, default=0,
+                    help="shard over N devices (VR mode only); 0 = single chip")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("overrides", nargs="*", help="key=value overrides")
+    args = ap.parse_args(argv)
+
+    from incagg_gnn_tpu.graph.datasets import get_data
+    from incagg_gnn_tpu.train.config import load_config, parse_overrides
+    from incagg_gnn_tpu.train.trainer import Trainer
+
+    run_cfg = load_config(args.model, args.dataset, parse_overrides(args.overrides))
+    run_cfg.root = args.root
+
+    t = time.perf_counter()
+    data, in_c, out_c = get_data(run_cfg.root, run_cfg.dataset)
+    log.info(f"data: {run_cfg.dataset} N={data.num_nodes} E={data.adj_t.nnz} "
+             f"F={in_c} C={out_c} [{time.perf_counter() - t:.1f}s]")
+
+    model = build_model(run_cfg, data, in_c, out_c)
+    log.info(f"model: {run_cfg.model} {run_cfg.architecture} "
+             f"trainer: {run_cfg.trainer}")
+
+    if args.n_devices > 1:
+        from incagg_gnn_tpu.parallel.spatial import ShardedVRTrainer
+
+        trainer = ShardedVRTrainer(model, data, run_cfg.trainer,
+                                   n_devices=args.n_devices, log=True)
+    else:
+        trainer = Trainer(model, data, run_cfg.trainer, log=True)
+
+    ckpt = None
+    if args.checkpoint_dir:
+        from incagg_gnn_tpu.train.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(args.checkpoint_dir)
+        ckpt.maybe_restore(trainer)
+
+    t = time.perf_counter()
+    trainer.fill_history()
+    log.info(f"history filled [{time.perf_counter() - t:.1f}s]")
+
+    best_val = best_test = 0.0
+    start_epoch = getattr(trainer, "epoch", 0)
+    for epoch in range(start_epoch, run_cfg.trainer.epochs):
+        t = time.perf_counter()
+        tr = trainer.train_epoch()
+        ev = trainer.evaluate()
+        if ev["val_acc"] > best_val:
+            best_val, best_test = ev["val_acc"], ev["test_acc"]
+        if epoch % run_cfg.log_every == 0:
+            log.info(
+                f"Epoch {epoch:04d} loss {tr['loss']:.4f} "
+                f"train {ev['train_acc']:.4f} val {ev['val_acc']:.4f} "
+                f"test {ev['test_acc']:.4f} final {best_test:.4f} "
+                f"[{time.perf_counter() - t:.1f}s]"
+            )
+        if ckpt is not None:
+            ckpt.save(trainer, epoch)
+    log.info("=========================")
+    log.info(f"Val: {best_val:.4f}, Test: {best_test:.4f}")
+    return best_val, best_test
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Config composition, CLI smoke run, and checkpoint round-trip tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from incagg_gnn_tpu.train.config import load_config, parse_overrides
+
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class TestConfig:
+    def test_load_gcn_arxiv(self):
+        cfg = load_config(os.path.join(REPO, "conf/model/gcn.yaml"), "arxiv")
+        assert cfg.model == "GCN"
+        assert cfg.architecture["hidden_channels"] == 256
+        assert cfg.trainer.num_parts == 80
+        assert cfg.trainer.batch_size == 40
+        assert cfg.trainer.loop and cfg.trainer.norm
+        assert cfg.trainer.grad_norm is None
+
+    def test_overrides(self):
+        ov = parse_overrides(["vr_update=true", "lr=0.1", "hidden_channels=64",
+                              "grad_norm=1.5"])
+        cfg = load_config(os.path.join(REPO, "conf/model/gcn.yaml"), "arxiv", ov)
+        assert cfg.trainer.vr_update is True
+        assert cfg.trainer.lr == 0.1
+        assert cfg.trainer.grad_norm == 1.5
+        assert cfg.architecture["hidden_channels"] == 64
+
+    def test_vr_update_alias(self):
+        ov = parse_overrides(["VR_update=true"])
+        cfg = load_config(os.path.join(REPO, "conf/model/appnp.yaml"), "arxiv", ov)
+        assert cfg.trainer.vr_update is True
+
+    def test_every_model_yaml_parses(self):
+        for name in ["gcn", "gcn2", "appnp", "graphsage", "pna", "gat"]:
+            path = os.path.join(REPO, "conf/model", f"{name}.yaml")
+            import yaml
+            doc = yaml.safe_load(open(path))
+            for ds in doc["params"]:
+                cfg = load_config(path, ds)
+                assert cfg.trainer.epochs > 0
+
+    def test_missing_dataset_raises(self):
+        with pytest.raises(KeyError):
+            load_config(os.path.join(REPO, "conf/model/gcn.yaml"), "nope")
+
+
+class TestCLI:
+    def test_main_smoke(self, tmp_path):
+        import main as cli
+
+        val, test = cli.main([
+            "--model", os.path.join(REPO, "conf/model/gcn.yaml"),
+            "--dataset", "sbm-small",
+            "epochs=3", "num_parts=4", "batch_size=2",
+        ])
+        assert 0.0 <= val <= 1.0
+
+    def test_main_vr_with_checkpoint(self, tmp_path):
+        import main as cli
+
+        ck = str(tmp_path / "ck")
+        cli.main([
+            "--model", os.path.join(REPO, "conf/model/gcn.yaml"),
+            "--dataset", "sbm-small", "--checkpoint-dir", ck,
+            "epochs=2", "num_parts=4", "vr_update=true",
+        ])
+        assert any(f.startswith("ckpt_") for f in os.listdir(ck))
+        # resume continues from the stored epoch
+        val2, _ = cli.main([
+            "--model", os.path.join(REPO, "conf/model/gcn.yaml"),
+            "--dataset", "sbm-small", "--checkpoint-dir", ck,
+            "epochs=3", "num_parts=4", "vr_update=true",
+        ])
+        assert 0.0 <= val2 <= 1.0
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, sbm_small, tmp_path):
+        from incagg_gnn_tpu.models import GCN, GCNConfig
+        from incagg_gnn_tpu.train.checkpoint import CheckpointManager
+        from incagg_gnn_tpu.train.trainer import Trainer, TrainerConfig
+
+        data, in_c, out_c = sbm_small
+        cfg = GCNConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                        hidden_channels=16, out_channels=out_c, num_layers=2,
+                        dropout=0.0, drop_input=False)
+        tcfg = TrainerConfig(num_parts=4, batch_size=2, vr_update=True, seed=0)
+        t1 = Trainer(GCN(cfg), data, tcfg)
+        t1.fill_history()
+        t1.train_epoch()
+        cm = CheckpointManager(str(tmp_path))
+        cm.save(t1, epoch=0)
+
+        t2 = Trainer(GCN(cfg), data, tcfg)
+        assert cm.maybe_restore(t2)
+        assert t2.epoch == 1
+        for a, b in zip(
+            np.asarray(t1.hist.emb).ravel(), np.asarray(t2.hist.emb).ravel()
+        ):
+            pass  # shape check implied by load; spot-check below
+        assert np.allclose(np.asarray(t1.hist.emb), np.asarray(t2.hist.emb))
+        l1 = np.asarray(t1.params["convs"][0]["w"])
+        l2 = np.asarray(t2.params["convs"][0]["w"])
+        assert np.allclose(l1, l2)
+
+    def test_gc_keeps_latest(self, sbm_tiny, tmp_path):
+        from incagg_gnn_tpu.models import GCN, GCNConfig
+        from incagg_gnn_tpu.train.checkpoint import CheckpointManager
+        from incagg_gnn_tpu.train.trainer import Trainer, TrainerConfig
+
+        data, in_c, out_c = sbm_tiny
+        cfg = GCNConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                        hidden_channels=8, out_channels=out_c, num_layers=2)
+        t = Trainer(GCN(cfg), data, TrainerConfig(num_parts=2, seed=0))
+        cm = CheckpointManager(str(tmp_path), keep=2)
+        for e in range(4):
+            cm.save(t, e)
+        names = sorted(f for f in os.listdir(tmp_path) if f.endswith(".npz"))
+        assert names == ["ckpt_000002.npz", "ckpt_000003.npz"]
