@@ -68,7 +68,8 @@ def gat_conv(p, x: jnp.ndarray, adj: PaddedAdj, heads: int, out_dim: int,
         keep = jax.random.bernoulli(rng, 1.0 - att_dropout, att.shape)
         att = jnp.where(keep, att / (1.0 - att_dropout), 0.0)
     msg = jnp.take(wx, adj.cols, axis=0) * att[:, :, None]  # [E_pad, H, D]
-    out = jax.ops.segment_sum(msg, adj.rows, num_segments=r_pad)
+    out = jax.ops.segment_sum(msg, adj.rows, num_segments=r_pad,
+                              indices_are_sorted=True)
     if concat:
         out = out.reshape(r_pad, heads * out_dim)
     else:

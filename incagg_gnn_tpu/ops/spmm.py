@@ -61,7 +61,8 @@ class PaddedAdj(NamedTuple):
         keep = (self.cols < batch_size) & (self.vals != 0)
         vals = jnp.where(keep, self.vals, 0.0)
         deg = jax.ops.segment_sum(
-            keep.astype(jnp.float32), self.rows, num_segments=self.num_rows
+            keep.astype(jnp.float32), self.rows, num_segments=self.num_rows,
+            indices_are_sorted=True,
         )
         return self._replace(vals=vals, deg=deg)
 
@@ -73,7 +74,9 @@ def spmm(adj: PaddedAdj, x: jnp.ndarray) -> jnp.ndarray:
     reduce='sum').  ``x: [C_pad, D] -> out: [R_pad, D]``.
     """
     gathered = jnp.take(x, adj.cols, axis=0) * adj.vals[:, None]
-    return jax.ops.segment_sum(gathered, adj.rows, num_segments=adj.num_rows)
+    return jax.ops.segment_sum(
+        gathered, adj.rows, num_segments=adj.num_rows, indices_are_sorted=True
+    )
 
 
 def spmm_mean(adj: PaddedAdj, x: jnp.ndarray) -> jnp.ndarray:
@@ -89,7 +92,9 @@ def spmm_max(adj: PaddedAdj, x: jnp.ndarray) -> jnp.ndarray:
     gathered = jnp.take(x, adj.cols, axis=0)
     neg = jnp.finfo(x.dtype).min
     gathered = jnp.where((adj.vals != 0)[:, None], gathered, neg)
-    out = jax.ops.segment_max(gathered, adj.rows, num_segments=adj.num_rows)
+    out = jax.ops.segment_max(
+        gathered, adj.rows, num_segments=adj.num_rows, indices_are_sorted=True
+    )
     return jnp.where(adj.deg[:, None] > 0, out, 0.0)
 
 
@@ -118,12 +123,14 @@ def segment_softmax(scores: jnp.ndarray, rows: jnp.ndarray, num_rows: int,
     """
     if valid is not None:
         scores = jnp.where(valid[:, None], scores, jnp.finfo(scores.dtype).min)
-    row_max = jax.ops.segment_max(scores, rows, num_segments=num_rows)
+    row_max = jax.ops.segment_max(scores, rows, num_segments=num_rows,
+                                  indices_are_sorted=True)
     row_max = jnp.where(jnp.isfinite(row_max), row_max, 0.0)
     ex = jnp.exp(scores - jnp.take(row_max, rows, axis=0))
     if valid is not None:
         ex = jnp.where(valid[:, None], ex, 0.0)
-    denom = jax.ops.segment_sum(ex, rows, num_segments=num_rows)
+    denom = jax.ops.segment_sum(ex, rows, num_segments=num_rows,
+                                indices_are_sorted=True)
     return ex / jnp.maximum(jnp.take(denom, rows, axis=0), 1e-16)
 
 
