@@ -184,6 +184,226 @@ void partition(const int64_t* rowptr, const int32_t* col, int64_t n,
 }
 
 // ---------------------------------------------------------------------------
+// Multilevel partitioning (METIS-like): coarsen by heavy-edge matching,
+// partition the coarsest graph with greedy growing, then uncoarsen with
+// FM-style refinement at every level.  This is the same three-phase scheme
+// METIS_PartGraphKway uses (the reference calls it through torch-sparse,
+// metis.py:31); quality on locality-rich graphs is far better than one-shot
+// greedy growing.
+
+namespace ml {
+
+struct Graph {
+  std::vector<int64_t> rowptr;
+  std::vector<int32_t> col;
+  std::vector<int64_t> wgt;    // edge weights (merged multiplicities)
+  std::vector<int64_t> vwgt;   // vertex weights (coarse node sizes)
+  int64_t n() const { return (int64_t)rowptr.size() - 1; }
+};
+
+// Heavy-edge matching: visit vertices in random order, match with the
+// heaviest unmatched neighbor; produce coarse map.
+static int64_t match(const Graph& g, std::mt19937_64& rng,
+                     std::vector<int64_t>& cmap) {
+  const int64_t n = g.n();
+  std::vector<int64_t> order(n);
+  std::iota(order.begin(), order.end(), 0);
+  std::shuffle(order.begin(), order.end(), rng);
+  cmap.assign(n, -1);
+  int64_t nc = 0;
+  for (int64_t v : order) {
+    if (cmap[v] >= 0) continue;
+    int64_t best = -1, best_w = -1;
+    for (int64_t j = g.rowptr[v]; j < g.rowptr[v + 1]; ++j) {
+      const int64_t u = g.col[j];
+      if (u != v && cmap[u] < 0 && g.wgt[j] > best_w) {
+        best = u;
+        best_w = g.wgt[j];
+      }
+    }
+    cmap[v] = nc;
+    if (best >= 0) cmap[best] = nc;
+    ++nc;
+  }
+  return nc;
+}
+
+// Build the coarse graph given the matching map.
+static Graph coarsen(const Graph& g, const std::vector<int64_t>& cmap,
+                     int64_t nc) {
+  Graph c;
+  c.vwgt.assign(nc, 0);
+  const int64_t n = g.n();
+  for (int64_t v = 0; v < n; ++v) c.vwgt[cmap[v]] += g.vwgt[v];
+  // accumulate edges with a per-coarse-row dense scratch
+  std::vector<int64_t> acc(nc, 0);
+  std::vector<int32_t> touched;
+  // first pass: count, second: fill — do in one pass with temporary storage
+  std::vector<std::pair<int32_t, int64_t>> edges;  // (ccol, w) per crow batch
+  c.rowptr.assign(nc + 1, 0);
+  // group fine vertices by coarse id
+  std::vector<int64_t> head(nc, -1), nxt(n);
+  for (int64_t v = 0; v < n; ++v) {
+    nxt[v] = head[cmap[v]];
+    head[cmap[v]] = v;
+  }
+  std::vector<int32_t> cols_tmp;
+  std::vector<int64_t> w_tmp;
+  for (int64_t cv = 0; cv < nc; ++cv) {
+    touched.clear();
+    for (int64_t v = head[cv]; v >= 0; v = nxt[v]) {
+      for (int64_t j = g.rowptr[v]; j < g.rowptr[v + 1]; ++j) {
+        const int32_t cu = (int32_t)cmap[g.col[j]];
+        if (cu == cv) continue;  // drop self loops
+        if (acc[cu] == 0) touched.push_back(cu);
+        acc[cu] += g.wgt[j];
+      }
+    }
+    c.rowptr[cv + 1] = c.rowptr[cv] + (int64_t)touched.size();
+    for (int32_t cu : touched) {
+      cols_tmp.push_back(cu);
+      w_tmp.push_back(acc[cu]);
+      acc[cu] = 0;
+    }
+  }
+  c.col = std::move(cols_tmp);
+  c.wgt = std::move(w_tmp);
+  return c;
+}
+
+// Greedy weighted graph growing on the (coarsest) graph.
+static void grow(const Graph& g, int32_t num_parts, std::mt19937_64& rng,
+                 std::vector<int64_t>& part) {
+  const int64_t n = g.n();
+  int64_t total = 0;
+  for (int64_t v = 0; v < n; ++v) total += g.vwgt[v];
+  const int64_t target = (total + num_parts - 1) / num_parts;
+  part.assign(n, -1);
+  std::vector<int64_t> order(n);
+  std::iota(order.begin(), order.end(), 0);
+  std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+    return (g.rowptr[a + 1] - g.rowptr[a]) < (g.rowptr[b + 1] - g.rowptr[b]);
+  });
+  int64_t cursor = 0;
+  std::vector<int64_t> frontier, next_frontier;
+  for (int32_t p = 0; p < num_parts; ++p) {
+    int64_t size = 0;
+    while (size < target) {
+      while (cursor < n && part[order[cursor]] >= 0) ++cursor;
+      if (cursor >= n) break;
+      const int64_t s = order[cursor];
+      part[s] = p;
+      size += g.vwgt[s];
+      frontier.assign(1, s);
+      while (size < target && !frontier.empty()) {
+        next_frontier.clear();
+        for (int64_t v : frontier) {
+          for (int64_t j = g.rowptr[v]; j < g.rowptr[v + 1] && size < target; ++j) {
+            const int64_t w = g.col[j];
+            if (part[w] < 0) {
+              part[w] = p;
+              size += g.vwgt[w];
+              next_frontier.push_back(w);
+            }
+          }
+          if (size >= target) break;
+        }
+        frontier.swap(next_frontier);
+      }
+    }
+  }
+  for (int64_t v = 0; v < n; ++v)
+    if (part[v] < 0) part[v] = num_parts - 1;
+}
+
+// Weighted FM-style refinement with vertex-weight balance constraint.
+static void refine(const Graph& g, int32_t num_parts, int32_t passes,
+                   std::vector<int64_t>& part) {
+  const int64_t n = g.n();
+  if (num_parts <= 1) return;
+  std::vector<int64_t> sizes(num_parts, 0);
+  int64_t total = 0;
+  for (int64_t v = 0; v < n; ++v) {
+    sizes[part[v]] += g.vwgt[v];
+    total += g.vwgt[v];
+  }
+  const int64_t target = (total + num_parts - 1) / num_parts;
+  const int64_t max_size = (int64_t)(target * 1.03) + 1;
+  std::vector<int64_t> cnt(num_parts, 0);
+  std::vector<int32_t> touched;
+  for (int32_t pass = 0; pass < passes; ++pass) {
+    int64_t moved = 0;
+    for (int64_t v = 0; v < n; ++v) {
+      const int64_t pv = part[v];
+      touched.clear();
+      for (int64_t j = g.rowptr[v]; j < g.rowptr[v + 1]; ++j) {
+        const int32_t pu = (int32_t)part[g.col[j]];
+        if (cnt[pu] == 0) touched.push_back(pu);
+        cnt[pu] += g.wgt[j];
+      }
+      int32_t best = (int32_t)pv;
+      int64_t best_w = cnt[pv];
+      for (int32_t pu : touched) {
+        if (cnt[pu] > best_w && sizes[pu] + g.vwgt[v] <= max_size) {
+          best = pu;
+          best_w = cnt[pu];
+        }
+      }
+      for (int32_t pu : touched) cnt[pu] = 0;
+      if (best != (int32_t)pv && sizes[pv] - g.vwgt[v] > 0) {
+        sizes[pv] -= g.vwgt[v];
+        sizes[best] += g.vwgt[v];
+        part[v] = best;
+        ++moved;
+      }
+    }
+    if (moved == 0) break;
+  }
+}
+
+}  // namespace ml
+
+extern "C" void partition_multilevel(const int64_t* rowptr, const int32_t* col,
+                                     int64_t n, int32_t num_parts,
+                                     int32_t refine_passes, uint64_t seed,
+                                     int64_t* out_cluster) {
+  std::mt19937_64 rng(seed);
+  // build level-0 graph with unit weights
+  std::vector<ml::Graph> levels(1);
+  levels[0].rowptr.assign(rowptr, rowptr + n + 1);
+  levels[0].col.assign(col, col + rowptr[n]);
+  levels[0].wgt.assign(rowptr[n], 1);
+  levels[0].vwgt.assign(n, 1);
+  std::vector<std::vector<int64_t>> cmaps;
+
+  // coarsen until small or no progress
+  const int64_t stop_n = std::max<int64_t>(4 * (int64_t)num_parts, 256);
+  while (levels.back().n() > stop_n) {
+    std::vector<int64_t> cmap;
+    const int64_t nc = ml::match(levels.back(), rng, cmap);
+    if (nc >= levels.back().n() * 0.95) break;  // matching stalled
+    ml::Graph cg = ml::coarsen(levels.back(), cmap, nc);
+    cmaps.push_back(std::move(cmap));
+    levels.push_back(std::move(cg));
+  }
+
+  // initial partition at the coarsest level + refine
+  std::vector<int64_t> part;
+  ml::grow(levels.back(), num_parts, rng, part);
+  ml::refine(levels.back(), num_parts, refine_passes + 2, part);
+
+  // uncoarsen with refinement at each level
+  for (int64_t lvl = (int64_t)cmaps.size() - 1; lvl >= 0; --lvl) {
+    const std::vector<int64_t>& cmap = cmaps[lvl];
+    std::vector<int64_t> fine(cmap.size());
+    for (size_t v = 0; v < cmap.size(); ++v) fine[v] = part[cmap[v]];
+    part = std::move(fine);
+    ml::refine(levels[lvl], num_parts, refine_passes, part);
+  }
+  std::copy(part.begin(), part.end(), out_cluster);
+}
+
+// ---------------------------------------------------------------------------
 // Per-row uniform neighbor sampling without replacement, capping each row of a
 // local CSR at num_neighbors entries (fixes the reference's broken python
 // sample_neighbors, loader.py:32-93).  Outputs a compacted CSR.

@@ -51,6 +51,7 @@ class TrainerConfig:
     log_every: int = 1
     eval_batch_size: int = 1  # clusters per eval batch (conf.batch_size reuse)
     hist_dtype: str = "float32"  # or "bfloat16" to halve cache HBM
+    metrics_path: Optional[str] = None  # JSONL metrics sink (SURVEY §5.5)
 
 
 class Trainer:
@@ -128,6 +129,10 @@ class Trainer:
             cfg.max_steps if cfg.max_steps != -1
             else max(1, cfg.num_parts // cfg.batch_size)
         )
+        from incagg_gnn_tpu.utils.logging import MetricsLogger
+
+        self.metrics = MetricsLogger(cfg.metrics_path)
+        self._edges_trained = 0
         if log:
             print(f"Trainer ready [{time.perf_counter() - t:.2f}s]")
 
@@ -143,8 +148,9 @@ class Trainer:
 
     def train_epoch(self) -> Dict[str, float]:
         """One training epoch (mini_train, main.py:47-96)."""
-        total_loss = total_n = 0.0
+        total_loss = total_n = total_drift = 0.0
         steps = 0
+        t0 = time.perf_counter()
         for hb in self.train_loader:
             if not self._train_mask_host[hb.n_id[: hb.batch_size]].any():
                 continue
@@ -163,10 +169,19 @@ class Trainer:
             n = float(metrics["num_train"])
             total_loss += float(metrics["loss"]) * n
             total_n += n
+            total_drift += float(metrics.get("drift", 0.0))
             steps += 1
             if steps >= self.max_steps:
                 break
-        return {"loss": total_loss / max(total_n, 1.0), "steps": steps}
+        dt = time.perf_counter() - t0
+        out = {
+            "loss": total_loss / max(total_n, 1.0),
+            "steps": steps,
+            "drift": total_drift / max(steps, 1),
+            "epoch_s": dt,
+        }
+        self.metrics.log("train_epoch", **out)
+        return out
 
     def evaluate(self) -> Dict[str, float]:
         """Layer-wise inference + cache refresh, then micro-F1 on all splits
@@ -177,11 +192,13 @@ class Trainer:
             use_aggregation=self.cfg.use_aggregation,
         )
         d = self.data
-        return {
+        out = {
             "train_acc": compute_micro_f1(logits, d.y, d.train_mask),
             "val_acc": compute_micro_f1(logits, d.y, d.val_mask),
             "test_acc": compute_micro_f1(logits, d.y, d.test_mask),
         }
+        self.metrics.log("eval", **out)
+        return out
 
     def fit(self, epochs: Optional[int] = None) -> Dict[str, float]:
         """Full loop: fill → (train, refresh+eval)×epochs (main.py:226-264)."""

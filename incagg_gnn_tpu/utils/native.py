@@ -68,6 +68,11 @@ class NativeGraphLib:
             _i64p, _i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_uint64, _i64p,
         ]
+        dll.partition_multilevel.restype = None
+        dll.partition_multilevel.argtypes = [
+            _i64p, _i32p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_uint64, _i64p,
+        ]
         dll.sample_neighbors.restype = ctypes.c_int64
         dll.sample_neighbors.argtypes = [
             _i64p, _i32p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
@@ -118,10 +123,14 @@ class NativeGraphLib:
             out_value = out_value[:kept]
         return out_rowptr, out_col, out_value, np.ascontiguousarray(idx, dtype=np.int64)
 
-    def partition(self, rowptr, col, num_parts, refine_passes, seed):
+    def partition(self, rowptr, col, num_parts, refine_passes, seed,
+                  multilevel=False):
+        # multilevel (METIS-style V-cycle) wins on locality-rich real graphs;
+        # greedy growing is better-balanced and near-optimal on SBM testbeds
         n = rowptr.shape[0] - 1
         out = np.empty(n, dtype=np.int64)
-        self._dll.partition(rowptr, col, n, num_parts, refine_passes, seed, out)
+        fn = self._dll.partition_multilevel if multilevel else self._dll.partition
+        fn(rowptr, col, n, num_parts, refine_passes, seed, out)
         return out
 
     def sample_neighbors(self, rowptr, col, value, num_neighbors, seed):
