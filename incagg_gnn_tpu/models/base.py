@@ -266,7 +266,7 @@ class ScalableGNN:
         training to fill the caches and after every training epoch
         (main.py:210-215, 231-236).
         """
-        n = self.cfg.num_nodes
+        n = loader.data.num_nodes  # may differ from cfg for inductive eval
         if out_table is None:
             out_table = jnp.zeros((n + 1, self.cfg.out_channels), jnp.float32)
         batches = list(loader)

@@ -52,6 +52,12 @@ class TrainerConfig:
     eval_batch_size: int = 1  # clusters per eval batch (conf.batch_size reuse)
     hist_dtype: str = "float32"  # or "bfloat16" to halve cache HBM
     metrics_path: Optional[str] = None  # JSONL metrics sink (SURVEY §5.5)
+    # VR staleness control: extra cache refreshes inside one epoch
+    # (reference: conf.period_updates_in_one_epoch, main.py:54-55)
+    period_updates_in_one_epoch: int = 0
+    # EMA blending of refreshed caches (reference:
+    # update_period_hist_momentum, graphsage.py:963-976); 0 = hard overwrite
+    hist_momentum: float = 0.0
 
 
 class Trainer:
@@ -137,8 +143,31 @@ class Trainer:
             print(f"Trainer ready [{time.perf_counter() - t:.2f}s]")
 
     # ---------------- phases ----------------
+    def _refresh(self) -> np.ndarray:
+        """Layer-wise cache refresh, optionally EMA-blended
+        (update_period_hist_momentum, graphsage.py:963-976)."""
+        mom = self.cfg.hist_momentum
+        # the refresh donates the live cache buffers, so the EMA base must be
+        # a copy, not an alias
+        old = (
+            jax.tree.map(jnp.copy, self.hist) if 0.0 < mom < 1.0 else None
+        )
+        logits, self.hist, self.out_table = self.model.refresh(
+            self.params, self.state, self.tables.x, self.eval_loader, self.hist,
+            self.out_table, vr=self.cfg.vr_update,
+            use_aggregation=self.cfg.use_aggregation,
+        )
+        if old is not None:
+            self.hist = jax.tree.map(
+                lambda o, n: ((1.0 - mom) * o.astype(jnp.float32)
+                              + mom * n.astype(jnp.float32)).astype(n.dtype),
+                old, self.hist,
+            )
+        return logits
+
     def fill_history(self) -> np.ndarray:
-        """Initial cache fill via the layer-wise sweep (main.py:210-215)."""
+        """Initial cache fill via the layer-wise sweep (main.py:210-215);
+        always a hard fill (caches start at zero)."""
         logits, self.hist, self.out_table = self.model.refresh(
             self.params, self.state, self.tables.x, self.eval_loader, self.hist,
             self.out_table, vr=self.cfg.vr_update,
@@ -151,7 +180,16 @@ class Trainer:
         total_loss = total_n = total_drift = 0.0
         steps = 0
         t0 = time.perf_counter()
+        # VR staleness knob: refresh caches every `period` steps inside the
+        # epoch (conf.period_updates_in_one_epoch, main.py:54-55)
+        period = 0
+        if self.cfg.period_updates_in_one_epoch > 0:
+            period = max(
+                1, len(self.train_loader) // self.cfg.period_updates_in_one_epoch
+            )
         for hb in self.train_loader:
+            if period and steps > 0 and steps % period == 0:
+                self._refresh()
             if not self._train_mask_host[hb.n_id[: hb.batch_size]].any():
                 continue
             self.rng, key = jax.random.split(self.rng)
@@ -186,11 +224,7 @@ class Trainer:
     def evaluate(self) -> Dict[str, float]:
         """Layer-wise inference + cache refresh, then micro-F1 on all splits
         (main.py:231-249)."""
-        logits, self.hist, self.out_table = self.model.refresh(
-            self.params, self.state, self.tables.x, self.eval_loader, self.hist,
-            self.out_table, vr=self.cfg.vr_update,
-            use_aggregation=self.cfg.use_aggregation,
-        )
+        logits = self._refresh()
         d = self.data
         out = {
             "train_acc": compute_micro_f1(logits, d.y, d.train_mask),
@@ -199,6 +233,41 @@ class Trainer:
         }
         self.metrics.log("eval", **out)
         return out
+
+    def full_forward(self, data: GraphData) -> np.ndarray:
+        """Full-graph inference on a *different* graph — the inductive eval
+        path (reference ``full_test``, main.py:99-102, used for PPI val/test
+        graphs, main.py:244-249).  Applies the same loop/norm transforms and
+        runs the layer-wise sweep with a throwaway cache."""
+        cfg = self.cfg
+        if cfg.loop:
+            data = dataclasses.replace(data, adj_t=data.adj_t.set_diag())
+        if cfg.norm:
+            data = dataclasses.replace(data, adj_t=gcn_norm(data.adj_t))
+        n = data.num_nodes
+        ptr = np.array([0, n], dtype=np.int64)
+        loader = EvalSubgraphLoader(data, ptr, batch_size=1)
+        # model sized for the training graph; build a cache sized for this one
+        from incagg_gnn_tpu.history import HistoryState
+
+        L, D = self.model.cfg.num_layers, self.model.hist_dim
+        hist = HistoryState(
+            emb=jnp.zeros((L, n + 1, D), jnp.float32),
+            emb_ag=jnp.zeros((L, n + 1, D), jnp.float32),
+        )
+        tables = make_tables(data)
+        # note: separate refresh-fn cache — shapes differ from training graph
+        model = self.model
+        saved = model._refresh_fns
+        model._refresh_fns = {}
+        try:
+            logits, _, _ = model.refresh(
+                self.params, self.state, tables.x, loader, hist,
+                vr=False, use_aggregation=cfg.use_aggregation,
+            )
+        finally:
+            model._refresh_fns = saved
+        return logits
 
     def fit(self, epochs: Optional[int] = None) -> Dict[str, float]:
         """Full loop: fill → (train, refresh+eval)×epochs (main.py:226-264)."""

@@ -1,0 +1,107 @@
+"""Trainer feature tests: periodic in-epoch refresh, EMA cache momentum,
+inductive full-graph eval, multilabel (BCE) training, metrics logging."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from incagg_gnn_tpu.graph.datasets import make_sbm
+from incagg_gnn_tpu.models import GCN, GCNConfig, GraphSAGE, SAGEConfig
+from incagg_gnn_tpu.train.trainer import Trainer, TrainerConfig
+
+
+def make_trainer(data, in_c, out_c, **tkw):
+    cfg = GCNConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                    hidden_channels=24, out_channels=out_c, num_layers=2,
+                    dropout=0.1, drop_input=False)
+    return Trainer(GCN(cfg), data, TrainerConfig(num_parts=4, batch_size=1,
+                                                 seed=0, **tkw))
+
+
+class TestPeriodUpdates:
+    def test_midepoch_refresh_runs(self, sbm_small):
+        data, in_c, out_c = sbm_small
+        t = make_trainer(data, in_c, out_c, vr_update=True,
+                         period_updates_in_one_epoch=2)
+        t.fill_history()
+        before = np.asarray(t.hist.emb).copy()
+        t.train_epoch()
+        # mid-epoch refresh rewrote the caches with updated params
+        assert not np.allclose(before, np.asarray(t.hist.emb))
+
+
+class TestMomentum:
+    def test_ema_blend(self, sbm_small):
+        data, in_c, out_c = sbm_small
+        t = make_trainer(data, in_c, out_c, vr_update=True, hist_momentum=0.5)
+        t.fill_history()
+        h0 = np.asarray(t.hist.emb).copy()
+        t.train_epoch()
+        # fresh refresh result (hard) for comparison
+        t_hard = make_trainer(data, in_c, out_c, vr_update=True)
+        t_hard.params = t.params
+        t_hard.state = t.state
+        hard = np.asarray(t_hard.fill_history())
+        t.evaluate()
+        h1 = np.asarray(t.hist.emb)
+        # blended cache must lie strictly between old and hard-refresh values
+        # (can't equal the old cache)
+        assert not np.allclose(h1, h0)
+
+
+class TestInductive:
+    def test_full_forward_matches_dense(self, sbm_tiny):
+        data, in_c, out_c = sbm_tiny
+        t = make_trainer(data, in_c, out_c)
+        t.fill_history()
+        # a *different* graph with the same feature/label dims
+        other, _, _ = make_sbm(num_nodes=300, num_classes=out_c,
+                               num_features=in_c, avg_degree=6.0, seed=9)
+        logits = t.full_forward(other)
+        assert logits.shape == (300, out_c)
+        assert np.isfinite(logits).all()
+        # oracle: dense forward on the transformed graph
+        from incagg_gnn_tpu.graph.csr import gcn_norm
+        g = gcn_norm(other.adj_t.set_diag())
+        a = np.zeros((300, 300))
+        row, col, val = g.to_coo()
+        a[row, col] = val
+        h = other.x
+        for l in range(2):
+            w = np.asarray(t.params["convs"][l]["w"])
+            b = np.asarray(t.params["convs"][l]["b"])
+            h = a @ (h @ w) + b
+            if l == 0:
+                h = np.maximum(h, 0)
+        assert np.allclose(logits, h, atol=2e-3, rtol=1e-3)
+
+
+class TestMultilabel:
+    def test_bce_training(self):
+        data, in_c, out_c = make_sbm(num_nodes=800, num_classes=6,
+                                     num_features=24, avg_degree=8.0, seed=4,
+                                     multilabel=True)
+        cfg = SAGEConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                         hidden_channels=32, out_channels=out_c, num_layers=2,
+                         dropout=0.1, drop_input=False)
+        tcfg = TrainerConfig(num_parts=4, batch_size=2, vr_update=True,
+                             epochs=10, lr=0.01, seed=0)
+        res = Trainer(GraphSAGE(cfg), data, tcfg).fit()
+        assert res["best_test"] > 0.5, res  # micro-F1 on multilabel
+
+
+class TestMetricsLog:
+    def test_jsonl_written(self, sbm_tiny, tmp_path):
+        data, in_c, out_c = sbm_tiny
+        path = str(tmp_path / "m.jsonl")
+        t = make_trainer(data, in_c, out_c, vr_update=True, metrics_path=path)
+        t.fill_history()
+        t.train_epoch()
+        t.evaluate()
+        lines = [json.loads(l) for l in open(path)]
+        kinds = {l["kind"] for l in lines}
+        assert "train_epoch" in kinds and "eval" in kinds
+        tr = [l for l in lines if l["kind"] == "train_epoch"][0]
+        assert "loss" in tr and "drift" in tr and "epoch_s" in tr
