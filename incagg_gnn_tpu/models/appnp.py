@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from incagg_gnn_tpu.history import HistoryState
 from incagg_gnn_tpu.models.base import BaseConfig, ScalableGNN
 from incagg_gnn_tpu.models.nn import dropout, linear, linear_init, pad_rows
-from incagg_gnn_tpu.ops.spmm import spmm
+from incagg_gnn_tpu.ops.agg import edge_counts, spmm
 
 
 @dataclasses.dataclass(frozen=True)
@@ -107,10 +107,9 @@ class APPNP(ScalableGNN):
                 x = (1 - c.alpha) * x + c.alpha * x0
             out = x
 
-        real = batch.adj.vals != 0
-        ib = real & (batch.adj.cols < batch.batch_size)
-        aux = {"num_in_batch_neighbors": ib.sum(),
-               "num_out_batch_neighbors": real.sum() - ib.sum()}
+        n_ib, n_ob = edge_counts(batch.adj, batch.batch_size)
+        aux = {"num_in_batch_neighbors": n_ib,
+               "num_out_batch_neighbors": n_ob}
         return out, state, hist_emb, aux
 
     # ---------------- VR forward (appnp.py:108-137) ----------------

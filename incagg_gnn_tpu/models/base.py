@@ -34,7 +34,8 @@ import numpy as np
 from incagg_gnn_tpu.history import HistoryState, init_history
 from incagg_gnn_tpu.loader import SubgraphBatch
 from incagg_gnn_tpu.models.nn import pad_cols, pad_rows
-from incagg_gnn_tpu.ops.spmm import PaddedAdj, spmm, spmm_reduce
+from incagg_gnn_tpu.ops.agg import spmm, spmm_reduce
+from incagg_gnn_tpu.ops.spmm import PaddedAdj
 
 Params = Any
 State = Any

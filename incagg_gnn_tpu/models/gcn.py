@@ -26,7 +26,8 @@ from incagg_gnn_tpu.models.nn import (
     linear_init,
     pad_rows,
 )
-from incagg_gnn_tpu.ops.spmm import PaddedAdj, spmm
+from incagg_gnn_tpu.ops.agg import edge_counts, spmm
+from incagg_gnn_tpu.ops.spmm import PaddedAdj
 
 
 @dataclasses.dataclass(frozen=True)
@@ -134,12 +135,10 @@ class GCN(ScalableGNN):
         return jax.nn.relu(h), new_bn
 
     def _edge_counts(self, batch: SubgraphBatch) -> Dict:
-        real = batch.adj.vals != 0
-        ib = real & (batch.adj.cols < batch.batch_size)
-        n_ib = ib.sum()
+        n_ib, n_ob = edge_counts(batch.adj, batch.batch_size)
         return {
             "num_in_batch_neighbors": n_ib,
-            "num_out_batch_neighbors": real.sum() - n_ib,
+            "num_out_batch_neighbors": n_ob,
         }
 
     # ---------------- GAS forward ----------------

@@ -36,7 +36,8 @@ from incagg_gnn_tpu.models.nn import (
     linear_init,
     pad_rows,
 )
-from incagg_gnn_tpu.ops.spmm import PaddedAdj, spmm
+from incagg_gnn_tpu.ops.agg import edge_counts, spmm
+from incagg_gnn_tpu.ops.spmm import PaddedAdj
 
 
 @dataclasses.dataclass(frozen=True)
@@ -176,10 +177,9 @@ class GCN2(ScalableGNN):
         h = dropout(keys[next(k)], h, c.dropout, training)
         out = linear(params["lins"][1], h)
 
-        real = batch.adj.vals != 0
-        ib = real & (batch.adj.cols < batch.batch_size)
-        aux = {"num_in_batch_neighbors": ib.sum(),
-               "num_out_batch_neighbors": real.sum() - ib.sum()}
+        n_ib, n_ob = edge_counts(batch.adj, batch.batch_size)
+        aux = {"num_in_batch_neighbors": n_ib,
+               "num_out_batch_neighbors": n_ob}
         return out, {"bns": new_bns}, hist_emb, aux
 
     # ---------------- VR forward (gcn2.py:187-323) ----------------

@@ -34,7 +34,8 @@ from incagg_gnn_tpu.models.nn import (
     linear_init,
     pad_rows,
 )
-from incagg_gnn_tpu.ops.spmm import PaddedAdj, spmm_mean
+from incagg_gnn_tpu.ops.agg import edge_counts, spmm_mean
+from incagg_gnn_tpu.ops.spmm import PaddedAdj
 
 
 @dataclasses.dataclass(frozen=True)
@@ -127,10 +128,9 @@ class GraphSAGE(ScalableGNN):
         return jax.nn.relu(h), new_bn
 
     def _edge_counts(self, batch):
-        real = batch.adj.vals != 0
-        ib = real & (batch.adj.cols < batch.batch_size)
-        return {"num_in_batch_neighbors": ib.sum(),
-                "num_out_batch_neighbors": real.sum() - ib.sum()}
+        n_ib, n_ob = edge_counts(batch.adj, batch.batch_size)
+        return {"num_in_batch_neighbors": n_ib,
+                "num_out_batch_neighbors": n_ob}
 
     # ---------------- GAS forward (graphsage.py:110-366) ----------------
     def forward_gas(self, params, state, x, batch, hist_emb, rng, training,

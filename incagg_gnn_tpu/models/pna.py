@@ -38,7 +38,8 @@ from incagg_gnn_tpu.models.nn import (
     linear,
     linear_init,
 )
-from incagg_gnn_tpu.ops.spmm import PaddedAdj, spmm_reduce
+from incagg_gnn_tpu.ops.agg import edge_counts, spmm_reduce
+from incagg_gnn_tpu.ops.spmm import PaddedAdj
 
 EPS = 1e-5
 
@@ -157,10 +158,9 @@ class PNA(ScalableGNN):
             x = dropout(keys[next(k)], x, c.dropout, training)
         out = pna_conv(params["convs"][-1], c, x, adj)
 
-        real = batch.adj.vals != 0
-        ib = real & (batch.adj.cols < batch.batch_size)
-        aux = {"num_in_batch_neighbors": ib.sum(),
-               "num_out_batch_neighbors": real.sum() - ib.sum()}
+        n_ib, n_ob = edge_counts(batch.adj, batch.batch_size)
+        aux = {"num_in_batch_neighbors": n_ib,
+               "num_out_batch_neighbors": n_ob}
         return out, {"bns": new_bns}, hist_emb, aux
 
     # ---------------- VR forward (pna.py:162-278 "mock") ----------------

@@ -96,10 +96,11 @@ class PNA_JK(PNA):
                 x = dropout(keys[next(k)], x, c.dropout, training)
         out = linear(params["jk"], jnp.concatenate(xs, axis=-1))
 
-        real = batch.adj.vals != 0
-        ib = real & (batch.adj.cols < batch.batch_size)
-        aux = {"num_in_batch_neighbors": ib.sum(),
-               "num_out_batch_neighbors": real.sum() - ib.sum()}
+        from incagg_gnn_tpu.ops.agg import edge_counts
+
+        n_ib, n_ob = edge_counts(batch.adj, batch.batch_size)
+        aux = {"num_in_batch_neighbors": n_ib,
+               "num_out_batch_neighbors": n_ob}
         return out, {"bns": new_bns}, hist_emb, aux
 
     def forward_vr(self, params, state, x, batch, hist: HistoryState, rng,
@@ -167,9 +168,11 @@ class PNA_JK(PNA):
             out_l = self.forward_layer(params, state, layer, x_in, None, batch.adj,
                                        use_aggregation)
             r_pad = batch.adj.num_rows
-            # gather earlier layer outputs (emb[1..L-1] hold outputs 0..L-2)
+            # gather earlier layer outputs (emb[1..L-1] hold outputs 0..L-2);
+            # slice to hidden width (cache width may be max(in, hidden))
+            hid = self.cfg.hidden_channels
             xs = [
-                jnp.take(emb[j], batch.push_idx, axis=0).astype(jnp.float32)
+                jnp.take(emb[j], batch.push_idx, axis=0)[:, :hid].astype(jnp.float32)
                 for j in range(1, L)
             ] + [out_l[:r_pad]]
             logits = linear(params["jk"], jnp.concatenate(xs, axis=-1))

@@ -53,6 +53,23 @@ class HybridAdj(NamedTuple):
     def with_scaled_values(self, keep_ell, keep_ovf):
         return self._replace(ell_vals=keep_ell, ovf_vals=keep_ovf)
 
+    def mask_in_batch(self, batch_size) -> "HybridAdj":
+        """Keep only edges with in-batch sources (< batch_size) — the IB-only
+        ablation (reference gcn.py:117-141); degrees recomputed."""
+        keep_e = (self.ell_cols < batch_size) & (self.ell_vals != 0)
+        keep_o = (self.ovf_cols < batch_size) & (self.ovf_vals != 0)
+        deg = keep_e.sum(axis=1).astype(jnp.float32)
+        if self.ovf_rows.shape[0] > 0:
+            deg = deg + jax.ops.segment_sum(
+                keep_o.astype(jnp.float32), self.ovf_rows,
+                num_segments=self.num_rows, indices_are_sorted=True,
+            )
+        return self._replace(
+            ell_vals=jnp.where(keep_e, self.ell_vals, 0.0),
+            ovf_vals=jnp.where(keep_o, self.ovf_vals, 0.0),
+            deg=deg,
+        )
+
 
 def choose_k(degrees: np.ndarray, quantile: float = 0.98, align: int = 8) -> int:
     """ELL width: a high degree quantile, aligned; bounds padding waste while
@@ -136,6 +153,116 @@ def spmm_hybrid(adj: HybridAdj, x: jnp.ndarray) -> jnp.ndarray:
             go, adj.ovf_rows, num_segments=adj.num_rows, indices_are_sorted=True
         )
     return out
+
+
+class BiHybridAdj(NamedTuple):
+    """Forward + transposed hybrid adjacency pair.
+
+    XLA's autodiff of the ELL gather produces an unsorted scatter-add over
+    R*K indices — measured 10x slower than the forward on v5e.  The custom
+    VJP below instead computes ``dx = A^T @ g`` as *another* scatter-free
+    hybrid aggregation over the host-precomputed transpose, so backward costs
+    the same as forward.
+    """
+
+    fwd: HybridAdj  # [R x C]
+    bwd: HybridAdj  # [C x R]
+
+    @property
+    def num_rows(self) -> int:
+        return self.fwd.num_rows
+
+    @property
+    def deg(self) -> jnp.ndarray:
+        return self.fwd.deg
+
+    def binarized(self) -> "BiHybridAdj":
+        return BiHybridAdj(self.fwd.binarized(), self.bwd.binarized())
+
+    def mask_in_batch(self, batch_size) -> "BiHybridAdj":
+        """IB-only ablation on both directions: forward drops cols >= bs,
+        the transpose drops the corresponding ROWS >= bs."""
+        fwd = self.fwd.mask_in_batch(batch_size)
+        row_keep = (jnp.arange(self.bwd.num_rows) < batch_size)[:, None]
+        bwd = self.bwd._replace(
+            ell_vals=jnp.where(row_keep, self.bwd.ell_vals, 0.0),
+            ovf_vals=jnp.where(
+                jnp.take(row_keep[:, 0], self.bwd.ovf_rows), self.bwd.ovf_vals, 0.0
+            ),
+        )
+        return BiHybridAdj(fwd, bwd)
+
+
+@jax.custom_vjp
+def _spmm_sum_bi(fwd: HybridAdj, bwd: HybridAdj, x: jnp.ndarray) -> jnp.ndarray:
+    return spmm_hybrid(fwd, x)
+
+
+def _spmm_sum_bi_fw(fwd, bwd, x):
+    return spmm_hybrid(fwd, x), (fwd, bwd)
+
+
+def _zero_cotangent(t):
+    # integer index arrays take float0 cotangents
+    if jnp.issubdtype(t.dtype, jnp.inexact):
+        return jnp.zeros_like(t)
+    return np.zeros(t.shape, dtype=jax.dtypes.float0)
+
+
+def _spmm_sum_bi_bw(res, g):
+    fwd, bwd = res
+    dx = spmm_hybrid(bwd, g)
+    return (
+        jax.tree.map(_zero_cotangent, fwd),
+        jax.tree.map(_zero_cotangent, bwd),
+        dx,
+    )
+
+
+_spmm_sum_bi.defvjp(_spmm_sum_bi_fw, _spmm_sum_bi_bw)
+
+
+def spmm_bi(adj: BiHybridAdj, x: jnp.ndarray) -> jnp.ndarray:
+    """Weighted-sum aggregation with transpose-based backward."""
+    return _spmm_sum_bi(adj.fwd, adj.bwd, x)
+
+
+def spmm_bi_mean(adj: BiHybridAdj, x: jnp.ndarray) -> jnp.ndarray:
+    """Mean aggregation: out = (A @ x) / deg; backward divides the cotangent
+    before the transposed aggregation (scale commutes through the sum)."""
+    return spmm_bi(adj, x) / jnp.maximum(adj.fwd.deg, 1.0)[:, None]
+
+
+def build_bi_hybrid_adj(
+    rowptr: np.ndarray,
+    col: np.ndarray,
+    value: Optional[np.ndarray],
+    num_rows_pad: int,
+    num_cols_pad: int,
+    k: Optional[int] = None,
+    k_t: Optional[int] = None,
+    ovf_pad: Optional[int] = None,
+    ovf_pad_t: Optional[int] = None,
+) -> BiHybridAdj:
+    """Build the forward hybrid and its transpose ([C x R], trash col at
+    R_pad-1) from one local CSR block."""
+    fwd = build_hybrid_adj(rowptr, col, value, num_rows_pad, num_cols_pad, k=k,
+                           ovf_pad=ovf_pad)
+    r = int(rowptr.shape[0] - 1)
+    deg = np.diff(rowptr)
+    rows = np.repeat(np.arange(r, dtype=np.int64), deg)
+    order = np.lexsort((rows, col))
+    t_rows = col.astype(np.int64)[order]
+    t_cols = rows[order].astype(np.int32)
+    t_vals = (value[order] if value is not None else None)
+    t_rowptr = np.zeros(num_cols_pad + 1, dtype=np.int64)
+    np.add.at(t_rowptr, t_rows + 1, 1)
+    t_rowptr = np.cumsum(t_rowptr)
+    bwd = build_hybrid_adj(
+        t_rowptr, t_cols, t_vals, num_cols_pad, num_rows_pad, k=k_t,
+        ovf_pad=ovf_pad_t, trash_col=num_rows_pad - 1,
+    )
+    return BiHybridAdj(fwd=fwd, bwd=bwd)
 
 
 def spmm_hybrid_mean(adj: HybridAdj, x: jnp.ndarray) -> jnp.ndarray:

@@ -58,6 +58,10 @@ class TrainerConfig:
     # EMA blending of refreshed caches (reference:
     # update_period_hist_momentum, graphsage.py:963-976); 0 = hard overwrite
     hist_momentum: float = 0.0
+    # adjacency format: "auto" picks the scatter-free hybrid ELL+COO path
+    # (1.7x faster on v5e) except where COO is required (GAT attention,
+    # edge dropout); or force "coo" / "hybrid"
+    adj_format: str = "auto"
 
 
 class Trainer:
@@ -87,11 +91,25 @@ class Trainer:
         train_mode = "ib" if cfg.vr_update else (
             "ns" if cfg.num_neighbors >= 0 else "gas"
         )
+        needs_coo = (
+            model.__class__.__name__ == "GAT"  # edge-level attention
+            or cfg.edge_dropout > 0.0  # value-level dropout needs edge vals
+        )
+        if cfg.adj_format == "auto":
+            train_fmt = "coo" if needs_coo else "hybrid"
+            eval_fmt = "coo" if needs_coo else "hybrid-fwd"
+        else:
+            train_fmt = eval_fmt = cfg.adj_format
+            if cfg.adj_format == "hybrid":
+                eval_fmt = "hybrid-fwd"
         self.train_loader = SubgraphLoader(
             data, ptr, batch_size=cfg.batch_size, mode=train_mode,
             num_neighbors=cfg.num_neighbors, shuffle=True, seed=cfg.seed,
+            adj_format=train_fmt,
         )
-        self.eval_loader = EvalSubgraphLoader(data, ptr, batch_size=cfg.eval_batch_size)
+        self.eval_loader = EvalSubgraphLoader(
+            data, ptr, batch_size=cfg.eval_batch_size, adj_format=eval_fmt
+        )
 
         # --- model / optimizer / history ---
         rng = jax.random.PRNGKey(cfg.seed)
