@@ -78,6 +78,11 @@ class ShardedVRTrainer:
         self.mesh = mesh if mesh is not None else make_mesh(n_devices)
         self.n_dev = self.mesh.devices.size
         self.axis = self.mesh.axis_names[0]
+        # hybrid ELL is the fast default; "coo" forced when edge dropout is on
+        self.adj_format = (
+            "coo" if (cfg.adj_format == "coo" or cfg.edge_dropout > 0.0)
+            else "hybrid"
+        )
 
         # ---- partition / permute / transforms (as single-chip) ----
         perm, ptr = partition_graph(data.adj_t, cfg.num_parts, seed=cfg.seed)
@@ -182,13 +187,17 @@ class ShardedVRTrainer:
         r_pad = _round_up(max_r, 8)
         e_pad = _round_up(max_e, 8)
         trash = lay.local_trash()
+        fmt_args = self._hybrid_buckets(raw, r_pad, r_pad) if self.adj_format != "coo" else None
 
         stacks = []
         for i in range(rounds):
             per_round = []
             for d in range(self.n_dev):
                 b = raw[d][i % len(raw[d])] if raw[d] else None
-                per_round.append(self._pack(b, r_pad, r_pad, e_pad, trash))
+                per_round.append(
+                    self._pack(b, r_pad, r_pad, e_pad, trash,
+                               fmt="bi" if fmt_args else "coo", fmt_args=fmt_args)
+                )
             stacks.append(jax.tree.map(lambda *xs: np.stack(xs), *per_round))
         self._train_stacks = [
             jax.device_put(
@@ -224,6 +233,7 @@ class ShardedVRTrainer:
         r_pad = _round_up(max_r, 8)
         c_pad = _round_up(max_c, 8)
         e_pad = _round_up(max_e, 8)
+        fmt_args = self._hybrid_buckets(raw, r_pad, c_pad) if self.adj_format != "coo" else None
 
         stacks = []
         for i in range(rounds):
@@ -234,7 +244,8 @@ class ShardedVRTrainer:
                 gtrash = d * lay.slab + lay.local_trash()
                 per_round.append(
                     self._pack(b, r_pad, c_pad, e_pad, lay.local_trash(),
-                               n_id_fill=gtrash)
+                               n_id_fill=gtrash,
+                               fmt="fwd" if fmt_args else "coo", fmt_args=fmt_args)
                 )
             stacks.append(jax.tree.map(lambda *xs: np.stack(xs), *per_round))
         self._eval_stacks = [
@@ -245,15 +256,48 @@ class ShardedVRTrainer:
             for s in stacks
         ]
 
+    def _hybrid_buckets(self, raw, r_pad, c_pad):
+        """Common ELL/overflow bucket sizes across all devices' batches."""
+        from incagg_gnn_tpu.ops.ell import choose_k
+
+        k = k_t = 8
+        ovf = ovf_t = 8
+        for lst in raw:
+            for b in lst:
+                rowptr, col, value = b.adj_args
+                deg = np.diff(rowptr)
+                tdeg = np.bincount(col, minlength=c_pad) if col.size else np.zeros(1, np.int64)
+                k = max(k, choose_k(deg))
+                k_t = max(k_t, choose_k(tdeg))
+        for lst in raw:
+            for b in lst:
+                rowptr, col, value = b.adj_args
+                deg = np.diff(rowptr)
+                tdeg = np.bincount(col, minlength=c_pad) if col.size else np.zeros(1, np.int64)
+                ovf = max(ovf, int(np.maximum(deg - k, 0).sum()))
+                ovf_t = max(ovf_t, int(np.maximum(tdeg - k_t, 0).sum()))
+        ovf = _round_up(ovf, 128)
+        ovf_t = _round_up(ovf_t, 128)
+        return {"k": k, "k_t": k_t, "ovf_pad": ovf, "ovf_pad_t": ovf_t}
+
     def _pack(self, b: Optional[_DevBatch], r_pad, c_pad, e_pad, trash_local,
-              n_id_fill: Optional[int] = None) -> SubgraphBatch:
+              n_id_fill: Optional[int] = None, fmt: str = "coo",
+              fmt_args=None) -> SubgraphBatch:
         """Pad one host batch to the bucket as numpy SubgraphBatch leaves."""
+        from incagg_gnn_tpu.ops.ell import build_bi_hybrid_adj, build_hybrid_adj
+
         fill = trash_local if n_id_fill is None else n_id_fill
         if b is None:
             b = _DevBatch((np.zeros(1, np.int64), np.empty(0, np.int32), None),
                           np.empty(0, np.int64), np.empty(0, np.int64), 0, 0)
         rowptr, col, value = b.adj_args
-        adj = build_padded_adj(rowptr, col, value, r_pad, c_pad, e_pad)
+        if fmt == "bi":
+            adj = build_bi_hybrid_adj(rowptr, col, value, r_pad, c_pad, **fmt_args)
+        elif fmt == "fwd":
+            adj = build_hybrid_adj(rowptr, col, value, r_pad, c_pad,
+                                   k=fmt_args["k"], ovf_pad=fmt_args["ovf_pad"])
+        else:
+            adj = build_padded_adj(rowptr, col, value, r_pad, c_pad, e_pad)
         adj = jax.tree.map(np.asarray, adj)
         n_id = np.full(c_pad, fill, dtype=np.int32)
         n_id[: b.num_nodes] = b.n_id_rows
