@@ -70,10 +70,8 @@ def main():
         tr = ShardedVRTrainer(GCN(cfg), data, tcfg, mesh=make_mesh(nd))
         tr.refresh()
         tr.train_epoch()  # warm up / compile
-        # count IB edges across one epoch of batches
-        edges = sum(
-            int((np.asarray(s.adj.vals) != 0).sum()) for s in tr._train_stacks
-        )
+        # count IB edges across one epoch of batches (deg holds true counts)
+        edges = sum(int(np.asarray(s.adj.deg).sum()) for s in tr._train_stacks)
         t0 = time.perf_counter()
         for _ in range(args.epochs):
             tr.train_epoch()
