@@ -71,7 +71,11 @@ class SpilledHistory:
     (reference: History + AsyncIOPool)."""
 
     def __init__(self, num_nodes: int, dim: int, pool_size: int = 2,
-                 buffer_size: int = 65536, device=None):
+                 buffer_size: int = 65536, device=None,
+                 debug_verify: bool = False):
+        """``debug_verify``: after each asynchronous pull completes, assert it
+        matches a synchronous gather — the concurrency sanitizer SURVEY §5.2
+        prescribes for the spill engine (the reference had none)."""
         self.table = np.zeros((num_nodes + 1, dim), dtype=np.float32)
         self.dim = dim
         self.pool_size = pool_size
@@ -85,6 +89,7 @@ class SpilledHistory:
         self._next_slot = 0
         self._dll = _load()
         self._push_seq = 0
+        self.debug_verify = debug_verify
 
     # ---------------- pull ----------------
     def async_pull(self, idx: np.ndarray) -> None:
@@ -106,9 +111,14 @@ class SpilledHistory:
     def synchronize_pull(self):
         """Device array of the oldest in-flight pull (pool.py:83-88); the
         host->HBM leg dispatches asynchronously."""
-        slot, n, _ = self._queue[0]
+        slot, n, idx = self._queue[0]
         if self._dll is not None:
             self._dll.spill_wait(slot)
+        if self.debug_verify:
+            expect = self.table[idx]
+            assert np.array_equal(self._staging[slot][:n], expect), (
+                "spill pull mismatch vs synchronous gather (slot reuse race?)"
+            )
         return jax.device_put(self._staging[slot][:n], self.device)
 
     def free_pull(self) -> None:
