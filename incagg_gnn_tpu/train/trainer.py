@@ -65,10 +65,21 @@ class TrainerConfig:
 
 
 class Trainer:
+    """Single-stream trainer (one batch at a time).
+
+    With ``mesh`` given, the history caches and node tables are sharded over
+    the mesh's first axis (node-row sharding) and the jitted steps run under
+    GSPMD, which inserts the cross-shard gather/scatter collectives for
+    history pulls and pushes automatically — memory-scaling for GAS mode on
+    multiple chips.  (The fully-parallel Reverb path with per-device batches
+    lives in parallel/spatial.py.)
+    """
+
     def __init__(self, model: ScalableGNN, data: GraphData, cfg: TrainerConfig,
-                 log: bool = False):
+                 mesh=None, log: bool = False):
         self.cfg = cfg
         self.model = model
+        self.mesh = mesh
         self.log = log
         t = time.perf_counter()
 
@@ -127,6 +138,53 @@ class Trainer:
         self.out_table = jnp.zeros(
             (data.num_nodes + 1, model.cfg.out_channels), jnp.float32
         )
+        if mesh is not None:
+            # node-row sharding of all [N+1, ...] state; GSPMD handles the
+            # cross-shard pulls/pushes in the jitted steps.  Row counts are
+            # padded to a mesh multiple (extra zero rows beyond the trash row
+            # at index N are never addressed).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            nd = mesh.devices.size
+            rows_pad = -(-(data.num_nodes + 1) // nd) * nd
+
+            def pad_to(a):
+                extra = rows_pad - a.shape[0]
+                if extra == 0:
+                    return a
+                return jnp.concatenate(
+                    [a, jnp.zeros((extra,) + a.shape[1:], a.dtype)]
+                )
+
+            ax = mesh.axis_names[0]
+            row = NamedSharding(mesh, P(ax))
+            row2 = NamedSharding(mesh, P(ax, None))
+            hist_sh = NamedSharding(mesh, P(None, ax, None))
+            hist_pad = rows_pad - self.hist.emb.shape[1]
+            if hist_pad:
+                z = jnp.zeros(
+                    (self.hist.emb.shape[0], hist_pad, self.hist.emb.shape[2]),
+                    self.hist.emb.dtype,
+                )
+                self.hist = self.hist._replace(
+                    emb=jnp.concatenate([self.hist.emb, z], axis=1),
+                    emb_ag=jnp.concatenate([self.hist.emb_ag, z], axis=1),
+                )
+            self.hist = self.hist._replace(
+                emb=jax.device_put(self.hist.emb, hist_sh),
+                emb_ag=jax.device_put(self.hist.emb_ag, hist_sh),
+            )
+            self.tables = self.tables._replace(
+                x=jax.device_put(pad_to(self.tables.x), row2),
+                y=jax.device_put(
+                    pad_to(self.tables.y),
+                    row if self.tables.y.ndim == 1 else row2,
+                ),
+                train_mask=jax.device_put(pad_to(self.tables.train_mask), row),
+                val_mask=jax.device_put(pad_to(self.tables.val_mask), row),
+                test_mask=jax.device_put(pad_to(self.tables.test_mask), row),
+            )
+            self.out_table = jax.device_put(pad_to(self.out_table), row2)
 
         step_kwargs = dict(
             multilabel=self.multilabel,
