@@ -6,7 +6,11 @@ Two kernels:
   VMEM, for *batch-local* graphs (Reverb training batches: C·D·4 ≲ 10 MB,
   e.g. a products-config cluster of ≤16K nodes at d=128).  The gather runs as
   VMEM dynamic loads inside the kernel, fused with the multiply/accumulate —
-  no HBM intermediate at all.
+  no HBM intermediate at all.  NOTE: this jax version's Mosaic rejects the
+  dynamic VMEM row gather (``jnp.take`` inside the kernel) at compile time
+  ("Shape mismatch in input, indices and output"); the kernel is validated in
+  interpret mode and kept as the blueprint for when the lowering lands — the
+  production paths use the XLA hybrid implementation (ops/ell.py).
 
 - :func:`pallas_ell_reduce` — the multiply+K-reduction stage only (gather
   stays in XLA), double-buffered over row blocks.  Demonstrates the blocked

@@ -96,13 +96,61 @@ def convert_saint(src: str):
     return rowptr, col, x, y, masks[0], masks[1], masks[2]
 
 
+def convert_planetoid(src: str):
+    """Planetoid raw pickles (ind.{name}.{x,tx,allx,y,ty,ally,graph,test.index})
+    — covers Cora/Citeseer/Pubmed (reference: get_planetoid, data.py:15-36).
+    ``src`` is the directory plus dataset prefix, e.g. ``raw/ind.cora``."""
+    import pickle
+
+    def load(ext):
+        with open(f"{src}.{ext}", "rb") as f:
+            return pickle.load(f, encoding="latin1")
+
+    x, tx, allx = load("x"), load("tx"), load("allx")
+    y, ty, ally = load("y"), load("ty"), load("ally")
+    graph = load("graph")
+    test_idx = np.loadtxt(f"{src}.test.index", dtype=np.int64)
+    test_sorted = np.sort(test_idx)
+
+    import scipy.sparse as sp
+
+    def dense(m):
+        return m.toarray() if sp.issparse(m) else np.asarray(m)
+
+    allx, tx = dense(allx), dense(tx)
+    n = int(max(test_idx.max() + 1, allx.shape[0] + tx.shape[0]))
+    feat = np.zeros((n, allx.shape[1]), dtype=np.float32)
+    feat[: allx.shape[0]] = allx
+    feat[test_sorted] = tx
+    labels = np.zeros((n, np.asarray(ally).shape[1]), dtype=np.float32)
+    labels[: allx.shape[0]] = ally
+    labels[test_sorted] = ty
+    y_idx = labels.argmax(1).astype(np.int32)
+
+    rows, cols = [], []
+    for v, nbrs in graph.items():
+        for u in nbrs:
+            rows.append(v)
+            cols.append(u)
+    rowptr, col = symmetrize(np.array(rows), np.array(cols), n)
+
+    train_mask = np.zeros(n, bool)
+    train_mask[: dense(x).shape[0]] = True
+    val_mask = np.zeros(n, bool)
+    val_mask[dense(x).shape[0] : dense(x).shape[0] + 500] = True
+    test_mask = np.zeros(n, bool)
+    test_mask[test_sorted] = True
+    return rowptr, col, feat, y_idx, train_mask, val_mask, test_mask
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--format", choices=["ogb", "saint"], required=True)
+    ap.add_argument("--format", choices=["ogb", "saint", "planetoid"], required=True)
     ap.add_argument("--src", required=True)
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
-    fn = convert_ogb if args.format == "ogb" else convert_saint
+    fn = {"ogb": convert_ogb, "saint": convert_saint,
+          "planetoid": convert_planetoid}[args.format]
     rowptr, col, x, y, tr, va, te = fn(args.src)
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     np.savez_compressed(args.out, rowptr=rowptr, col=col, x=x, y=y,
