@@ -187,12 +187,9 @@ class ScalableGNN:
         return spmm_reduce(adj.binarized(), x, self.vr_reduce)
 
     # ---------------- layer-wise refresh (mini_inference[_vr]) ----------------
-    def _refresh_layer_fn(self, layer: int, vr: bool, use_aggregation: bool):
-        """Build (and cache) the jitted single-layer refresh pass."""
-        key = (layer, vr, use_aggregation)
-        if key in self._refresh_fns:
-            return self._refresh_fns[key]
-
+    def _refresh_batch_step(self, layer: int, vr: bool, use_aggregation: bool):
+        """The per-batch body of one refresh layer pass (shared between the
+        per-batch jit and the scanned whole-layer jit)."""
         L = self.cfg.num_layers
         D = self.hist_dim
 
@@ -240,6 +237,39 @@ class ScalableGNN:
                 out_table = out_table.at[batch.push_idx].set(out[:r_pad])
             return HistoryState(emb, emb_ag), out_table
 
+        return fn
+
+    def _refresh_layer_fn(self, layer: int, vr: bool, use_aggregation: bool):
+        """Jitted single-batch refresh pass (used by subclass overrides and
+        heterogeneous-shape loaders)."""
+        key = (layer, vr, use_aggregation)
+        if key in self._refresh_fns:
+            return self._refresh_fns[key]
+        jfn = jax.jit(self._refresh_batch_step(layer, vr, use_aggregation),
+                      donate_argnums=(2, 4))
+        self._refresh_fns[key] = jfn
+        return jfn
+
+    def _refresh_layer_scan_fn(self, layer: int, vr: bool, use_aggregation: bool):
+        """Whole-layer refresh as ONE jitted program scanning over the stacked
+        eval batches — collapses per-batch dispatches (significant when the
+        host-device link has latency, e.g. hundreds of dispatches per epoch
+        through a remote tunnel)."""
+        key = (layer, vr, use_aggregation, "scan")
+        if key in self._refresh_fns:
+            return self._refresh_fns[key]
+        step = self._refresh_batch_step(layer, vr, use_aggregation)
+
+        def fn(params, state, hist, x_table, out_table, batch_stack):
+            def body(carry, batch):
+                h, o = step(params, state, carry[0], x_table, carry[1], batch)
+                return (h, o), None
+
+            (hist, out_table), _ = jax.lax.scan(
+                body, (hist, out_table), batch_stack
+            )
+            return hist, out_table
+
         jfn = jax.jit(fn, donate_argnums=(2, 4))
         self._refresh_fns[key] = jfn
         return jfn
@@ -257,6 +287,7 @@ class ScalableGNN:
         out_table: Optional[jnp.ndarray] = None,
         vr: bool = False,
         use_aggregation: bool = True,
+        scan: bool = True,
     ) -> Tuple[np.ndarray, HistoryState, jnp.ndarray]:
         """Layer-wise sweep over all eval batches: recompute every layer's
         history (and, with ``vr=True``, the M_in/M_ag caches) and return the
@@ -271,11 +302,37 @@ class ScalableGNN:
         if out_table is None:
             out_table = jnp.zeros((n + 1, self.cfg.out_channels), jnp.float32)
         batches = list(loader)
-        for layer in range(self.cfg.num_layers):
-            jfn = self._refresh_layer_fn(layer, vr, use_aggregation)
-            for hb in batches:
+        # scanned path needs homogeneous batch shapes (loader buckets
+        # guarantee this unless a bucket grew mid-materialization) and no
+        # subclass refresh override (PNA_JK customizes the final layer)
+        ref_leaves, ref_def = jax.tree_util.tree_flatten(batches[0].device)
+        homogeneous = True
+        for b in batches[1:]:
+            leaves, tdef = jax.tree_util.tree_flatten(b.device)
+            if tdef != ref_def or any(
+                l.shape != r.shape for l, r in zip(leaves, ref_leaves)
+            ):
+                homogeneous = False
+                break
+        use_scan = (
+            scan and homogeneous and len(batches) > 1
+            and type(self)._refresh_layer_fn == ScalableGNN._refresh_layer_fn
+        )
+        if use_scan:
+            stack = jax.tree.map(
+                lambda *xs: jnp.stack(xs), *[b.device for b in batches]
+            )
+            for layer in range(self.cfg.num_layers):
+                jfn = self._refresh_layer_scan_fn(layer, vr, use_aggregation)
                 hist, out_table = jfn(
-                    params, state, hist, x_table, out_table, hb.device
+                    params, state, hist, x_table, out_table, stack
                 )
+        else:
+            for layer in range(self.cfg.num_layers):
+                jfn = self._refresh_layer_fn(layer, vr, use_aggregation)
+                for hb in batches:
+                    hist, out_table = jfn(
+                        params, state, hist, x_table, out_table, hb.device
+                    )
         logits = np.asarray(out_table[:n])
         return logits, hist, out_table
