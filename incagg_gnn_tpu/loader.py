@@ -32,6 +32,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Iterator, List, NamedTuple, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -116,6 +117,7 @@ class SubgraphLoader:
         align: int = 128,
         pad_slack: float = 1.1,
         adj_format: str = "coo",
+        device_cache: Optional[bool] = None,
         log: bool = False,
     ):
         """``adj_format``: 'coo' (sorted edge list + segment ops; required for
@@ -126,6 +128,7 @@ class SubgraphLoader:
         assert mode in ("gas", "ib", "ns")
         assert adj_format in ("coo", "hybrid", "hybrid-fwd")
         self.adj_format = adj_format
+        self.device_cache = device_cache
         self.data = data
         self.adj = data.adj_t
         self.ptr = np.asarray(ptr, dtype=np.int64)
@@ -235,11 +238,11 @@ class SubgraphLoader:
         push_idx[:bs] = n_id[:bs]
 
         device = SubgraphBatch(
-            adj=adj,
-            n_id=jnp.asarray(n_id_pad),
-            push_idx=jnp.asarray(push_idx),
-            batch_size=jnp.asarray(bs, dtype=jnp.int32),
-            num_nodes=jnp.asarray(tot, dtype=jnp.int32),
+            adj=jax.tree.map(np.asarray, adj),
+            n_id=n_id_pad,
+            push_idx=push_idx,
+            batch_size=np.asarray(bs, dtype=np.int32),
+            num_nodes=np.asarray(tot, dtype=np.int32),
         )
         return HostBatch(device=device, n_id=n_id, batch_size=bs, offset=offs, count=cnts)
 
@@ -284,18 +287,38 @@ class SubgraphLoader:
     def __len__(self) -> int:
         return -(-self.num_clusters // self.batch_size)
 
+    def _to_device(self, hb: HostBatch) -> HostBatch:
+        if isinstance(hb.device.n_id, jnp.ndarray):
+            return hb
+        return dataclasses.replace(
+            hb, device=jax.tree.map(jnp.asarray, hb.device)
+        )
+
+    def _use_device_cache(self) -> bool:
+        # Keep precomputed batches on device only while they fit comfortably
+        # in HBM; large-graph eval sweeps stream from host instead (the
+        # reference's streaming behavior, main.py:61-64).
+        if self.device_cache is not None:
+            return self.device_cache
+        b = self.buckets
+        per = (b.rows + b.cols) * 4 + b.edges * 12 + b.rows * (b.k + b.k_t) * 8
+        return per * len(self) < 1_500_000_000
+
     def __iter__(self) -> Iterator[HostBatch]:
         if not self.shuffle:
             if self._cache is None:
                 groups = self._groups(shuffled=False)
                 self._cache = [self._collate(g, 0, i) for i, g in enumerate(groups)]
-            yield from self._cache
+                if self._use_device_cache():
+                    self._cache = [self._to_device(hb) for hb in self._cache]
+            for hb in self._cache:
+                yield self._to_device(hb)
             return
         epoch = self._epoch
         self._epoch += 1
         groups = self._groups(shuffled=True, epoch=epoch)
         for i, g in enumerate(groups):
-            yield self._collate(g, epoch, i)
+            yield self._to_device(self._collate(g, epoch, i))
 
 
 class EvalSubgraphLoader(SubgraphLoader):
