@@ -263,7 +263,9 @@ class Trainer:
             period = max(
                 1, len(self.train_loader) // self.cfg.period_updates_in_one_epoch
             )
-        for hb in self.train_loader:
+        from incagg_gnn_tpu.utils.prefetch import prefetch
+
+        for hb in prefetch(iter(self.train_loader), depth=2):
             if period and steps > 0 and steps % period == 0:
                 self._refresh()
             if not self._train_mask_host[hb.n_id[: hb.batch_size]].any():
