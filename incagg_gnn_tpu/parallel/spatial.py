@@ -438,7 +438,13 @@ class ShardedVRTrainer:
             self._step_fn = self._make_step()
         total_loss = total_n = 0.0
         steps = 0
-        for stack in self._train_stacks:
+        # shuffle round order per epoch (cluster composition is static; the
+        # reference shuffles batch order each epoch, main.py:158)
+        order = np.random.default_rng(
+            (self.cfg.seed, getattr(self, "_epoch", 0))
+        ).permutation(len(self._train_stacks))
+        self._epoch = getattr(self, "_epoch", 0) + 1
+        for stack in (self._train_stacks[i] for i in order):
             self.rng, key = jax.random.split(self.rng)
             (self.params, self.opt_state, self.state, loss, n) = self._step_fn(
                 self.params, self.opt_state, self.state, self.hist, stack,
