@@ -82,7 +82,9 @@ class GAT(ScalableGNN):
 
     @property
     def hist_dim(self) -> int:
-        return self.cfg.hidden_channels * self.cfg.hidden_heads
+        # layer-0 caches raw features in VR refresh (see GCN.hist_dim note)
+        return max(self.cfg.in_channels,
+                   self.cfg.hidden_channels * self.cfg.hidden_heads)
 
     def init(self, rng):
         c = self.cfg
