@@ -314,8 +314,12 @@ class ScalableGNN:
             ):
                 homogeneous = False
                 break
+        stack_bytes = len(batches) * sum(
+            int(np.prod(l.shape)) * l.dtype.itemsize for l in ref_leaves
+        )
         use_scan = (
             scan and homogeneous and len(batches) > 1
+            and stack_bytes < 2_000_000_000  # stacked batches must fit HBM
             and type(self)._refresh_layer_fn == ScalableGNN._refresh_layer_fn
         )
         if use_scan:
