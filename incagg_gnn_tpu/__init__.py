@@ -31,6 +31,7 @@ from incagg_gnn_tpu.graph.csr import CSRGraph, GraphData, gcn_norm, permute
 from incagg_gnn_tpu.graph.partition import partition_graph, ind2ptr
 from incagg_gnn_tpu.graph.relabel import relabel_one_hop, relabel_one_hop_within_batch
 from incagg_gnn_tpu.history import HistoryState
+from incagg_gnn_tpu.history_spill import SpilledHistory
 from incagg_gnn_tpu.loader import SubgraphBatch, SubgraphLoader, EvalSubgraphLoader
 from incagg_gnn_tpu.utils.metrics import compute_micro_f1, index2mask, gen_masks
 
@@ -44,6 +45,7 @@ __all__ = [
     "relabel_one_hop",
     "relabel_one_hop_within_batch",
     "HistoryState",
+    "SpilledHistory",
     "SubgraphBatch",
     "SubgraphLoader",
     "EvalSubgraphLoader",
