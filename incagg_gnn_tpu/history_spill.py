@@ -90,6 +90,7 @@ class SpilledHistory:
         self._dll = _load()
         self._push_seq = 0
         self.debug_verify = debug_verify
+        self._keep: List[np.ndarray] = []  # push sources alive until synced
 
     # ---------------- pull ----------------
     def async_pull(self, idx: np.ndarray) -> None:
@@ -139,7 +140,7 @@ class SpilledHistory:
             offset = np.ascontiguousarray(offset, dtype=np.int64)
             count = np.ascontiguousarray(count, dtype=np.int64)
             if self._dll is not None:
-                self._keep = host_vals  # keep alive until worker copies
+                self._keep.append(host_vals)  # alive until synchronize_push
                 self._dll.spill_scatter_chunks_async(
                     self.table, self.dim, offset, count, len(offset),
                     host_vals, slot)
@@ -151,7 +152,7 @@ class SpilledHistory:
         else:
             idx = np.ascontiguousarray(idx, dtype=np.int64)
             if self._dll is not None:
-                self._keep = host_vals
+                self._keep.append(host_vals)
                 self._dll.spill_scatter_async(self.table, self.dim, idx,
                                               len(idx), host_vals, slot)
             else:
@@ -162,3 +163,4 @@ class SpilledHistory:
         if self._dll is not None and self._push_seq:
             for s in range(self.pool_size, 2 * self.pool_size):
                 self._dll.spill_wait(s)
+        self._keep.clear()

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +39,16 @@ from incagg_gnn_tpu.ops.spmm import PaddedAdj
 
 Params = Any
 State = Any
+
+
+class StreamedPulls(NamedTuple):
+    """Pre-staged per-batch cache rows from the host-spill tier: stacked
+    ``[num_layers, R_pad, hist_dim]`` M_in and M_ag (IB-aligned, padded rows
+    zero).  Passed to ``forward_vr`` in place of :class:`HistoryState` when
+    the caches live in host DRAM (history_spill.SpilledHistory)."""
+
+    m_in: jnp.ndarray
+    m_ag: jnp.ndarray
 
 
 @dataclasses.dataclass(frozen=True)
@@ -166,13 +176,21 @@ class ScalableGNN:
         return x, hist_emb
 
     def vr_pull(
-        self, hist: HistoryState, layer: int, batch: SubgraphBatch, dim: int
+        self, hist, layer: int, batch: SubgraphBatch, dim: int
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Gather the IB rows of ``M_in[layer]`` / ``M_ag[layer]`` (reference
         base.py:318-323 chunked pulls + per-model ``synchronize_pull`` crops
-        ``[:batch_size, :x.shape[1]]``)."""
-        m_in = jnp.take(hist.emb[layer], batch.push_idx, axis=0)[:, :dim]
-        m_ag = jnp.take(hist.emb_ag[layer], batch.push_idx, axis=0)[:, :dim]
+        ``[:batch_size, :x.shape[1]]``).
+
+        ``hist`` is either the HBM-resident :class:`HistoryState` (gathered
+        here by row index) or a :class:`StreamedPulls` of pre-staged rows from
+        the host-spill tier (already IB-aligned)."""
+        if isinstance(hist, StreamedPulls):
+            m_in = hist.m_in[layer][:, :dim]
+            m_ag = hist.m_ag[layer][:, :dim]
+        else:
+            m_in = jnp.take(hist.emb[layer], batch.push_idx, axis=0)[:, :dim]
+            m_ag = jnp.take(hist.emb_ag[layer], batch.push_idx, axis=0)[:, :dim]
         return (
             jax.lax.stop_gradient(m_in.astype(jnp.float32)),
             jax.lax.stop_gradient(m_ag.astype(jnp.float32)),
