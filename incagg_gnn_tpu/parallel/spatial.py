@@ -11,10 +11,11 @@ Here the cluster set is bin-packed over a device mesh (``parallel/layout``):
   shard** — the training step needs zero cross-device data movement except a
   gradient ``psum`` over ICI;
 - the periodic layer-wise refresh needs out-of-batch neighbors, which may
-  live on other devices: each layer pass ``all_gather``s the previous layer's
-  cache over the mesh (halo exchange; a ppermute ring with static halo index
-  sets is the planned optimization — SURVEY §5.7/§7 step 9), computes the
-  batch, and scatters results into the local slab;
+  live on other devices: the dynamic OB index sets are compiled into a
+  **static all_to_all halo schedule** per refresh round (HaloPlan — SURVEY
+  §5.7/§7 step 9: the graph analogue of ring attention's KV rotation), so
+  each layer pass exchanges only halo rows over ICI, computes the batch, and
+  scatters results into the local slab;
 - parameters, optimizer state and BN state are replicated; gradients and BN
   running-stat updates are ``psum``/``pmean``-ed.
 
@@ -27,7 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Dict, List, Optional
+from typing import Dict, List, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -64,6 +65,24 @@ class _DevBatch:
     push_idx_local: np.ndarray
     batch_size: int
     num_nodes: int
+
+
+class HaloPlan(NamedTuple):
+    """Static halo-exchange schedule for one refresh round (SURVEY §7 step 9:
+    'turning dynamic OB index sets into static all-to-all schedules').
+
+    Per device: ``send_idx[j]`` lists the local slab rows this device must
+    send to device ``j`` (padded with the local trash row); the batch's
+    ``n_id`` positions are then assembled from either the local slab
+    (``is_local``/``local_pos``) or the flattened all_to_all receive buffer
+    (``remote_pos`` = owner*H + slot).  Replaces the mesh-wide ``all_gather``
+    (N·D traffic) with halo·D traffic over ICI.
+    """
+
+    send_idx: jnp.ndarray  # [n_dev(dst), H] int32 local rows to send
+    is_local: jnp.ndarray  # [C_pad] bool
+    local_pos: jnp.ndarray  # [C_pad] int32 into the local slab
+    remote_pos: jnp.ndarray  # [C_pad] int32 into recv.reshape(n_dev*H, D)
 
 
 class ShardedVRTrainer:
@@ -236,6 +255,7 @@ class ShardedVRTrainer:
         fmt_args = self._hybrid_buckets(raw, r_pad, c_pad) if self.adj_format != "coo" else None
 
         stacks = []
+        packed_rounds = []
         for i in range(rounds):
             per_round = []
             for d in range(self.n_dev):
@@ -247,6 +267,7 @@ class ShardedVRTrainer:
                                n_id_fill=gtrash,
                                fmt="fwd" if fmt_args else "coo", fmt_args=fmt_args)
                 )
+            packed_rounds.append(per_round)
             stacks.append(jax.tree.map(lambda *xs: np.stack(xs), *per_round))
         self._eval_stacks = [
             jax.device_put(
@@ -255,6 +276,65 @@ class ShardedVRTrainer:
             )
             for s in stacks
         ]
+        self._build_halo_plans(packed_rounds)
+
+    def _build_halo_plans(self, packed_rounds):
+        """Derive the static all-to-all halo schedule for every eval round
+        from the packed batches' global-row n_id arrays."""
+        lay = self.layout
+        nd, slab, trash = self.n_dev, lay.slab, lay.local_trash()
+        # first pass: per-round send lists + global max halo width H
+        round_sends = []  # [round][src][dst] -> np.ndarray of global rows
+        h_max = 1
+        for per_round in packed_rounds:
+            sends = [[None] * nd for _ in range(nd)]
+            for d in range(nd):
+                rows = per_round[d].n_id  # [C_pad] global rows (pad -> own trash)
+                owner = rows // slab
+                for o in range(nd):
+                    if o == d:
+                        continue
+                    req = rows[owner == o]
+                    sends[o][d] = np.unique(req)  # sorted unique
+                    h_max = max(h_max, len(sends[o][d]))
+            round_sends.append(sends)
+        h = _round_up(h_max, 8)
+        self._halo_width = h
+
+        plans = []
+        for per_round, sends in zip(packed_rounds, round_sends):
+            per_dev_plans = []
+            for d in range(nd):
+                rows = per_round[d].n_id
+                owner = rows // slab
+                is_local = owner == d
+                local_pos = np.where(is_local, rows - d * slab, trash).astype(np.int32)
+                remote_pos = np.zeros(len(rows), np.int32)
+                for o in range(nd):
+                    if o == d:
+                        continue
+                    m = owner == o
+                    if not m.any():
+                        continue
+                    # slot of each requested row within o's (sorted) send list
+                    slot = np.searchsorted(sends[o][d], rows[m])
+                    remote_pos[m] = o * h + slot
+                send_idx = np.full((nd, h), trash, np.int32)
+                for j in range(nd):
+                    if j == d or sends[d][j] is None:
+                        continue
+                    lst = sends[d][j]
+                    send_idx[j, : len(lst)] = (lst - d * slab).astype(np.int32)
+                per_dev_plans.append(HaloPlan(
+                    send_idx=send_idx, is_local=is_local,
+                    local_pos=local_pos, remote_pos=remote_pos,
+                ))
+            stacked = jax.tree.map(lambda *xs: np.stack(xs), *per_dev_plans)
+            plans.append(jax.device_put(
+                jax.tree.map(jnp.asarray, stacked),
+                jax.tree.map(lambda _: NamedSharding(self.mesh, P(self.axis)), stacked),
+            ))
+        self._halo_plans = plans
 
     def _hybrid_buckets(self, raw, r_pad, c_pad):
         """Common ELL/overflow bucket sizes across all devices' batches."""
@@ -363,31 +443,42 @@ class ShardedVRTrainer:
         return jax.jit(smapped, donate_argnums=(0, 1, 2))
 
     def _make_refresh_layer(self, layer: int):
-        """One sharded refresh layer pass: all_gather the source table over
-        the mesh (halo exchange), compute each device's batch, scatter results
-        into local slabs."""
+        """One sharded refresh layer pass.  The source table rows a device
+        needs from other slabs move via the **static halo all_to_all**
+        schedule (HaloPlan) — halo·D traffic over ICI instead of the
+        mesh-wide all_gather's N·D."""
         model, axis = self.model, self.axis
         L, D = model.cfg.num_layers, model.hist_dim
+        nd, h = self.n_dev, self._halo_width
 
-        def local_fn(params, state, hist, x_tab, out_tab, batch):
+        def local_fn(params, state, hist, x_tab, out_tab, batch, halo):
             batch = jax.tree.map(lambda a: a[0] if a.ndim > 0 else a, batch)
+            halo = jax.tree.map(lambda a: a[0], halo)
             emb, emb_ag = hist.emb, hist.emb_ag  # local slabs [L, slab, D]
             r_pad = batch.adj.num_rows
+
+            def exchange(src_local):
+                """[slab, Dsrc] -> [C_pad, Dsrc] via the halo schedule."""
+                send = jnp.take(src_local, halo.send_idx.reshape(-1), axis=0)
+                send = send.reshape(nd, h, src_local.shape[1])
+                recv = jax.lax.all_to_all(send, axis, split_axis=0,
+                                          concat_axis=0)
+                recv_flat = recv.reshape(nd * h, src_local.shape[1])
+                local = jnp.take(src_local, halo.local_pos, axis=0)
+                remote = jnp.take(recv_flat, halo.remote_pos, axis=0)
+                return jnp.where(halo.is_local[:, None], local, remote)
+
             if layer == 0:
-                x_full = jax.lax.all_gather(x_tab, axis, tiled=True)
-                x_in = jnp.take(x_full, batch.n_id, axis=0)
+                x_in = exchange(x_tab)
                 m0 = model.layer0_cache_input(params, x_in)
-                if model.needs_x0 or True:  # emb[0] always cached in VR mode
-                    emb = emb.at[0, batch.push_idx].set(
-                        pad_cols(m0[:r_pad], D).astype(emb.dtype))
+                emb = emb.at[0, batch.push_idx].set(
+                    pad_cols(m0[:r_pad], D).astype(emb.dtype))
                 ag0 = model.vr_aggregate(batch.adj, m0)
                 emb_ag = emb_ag.at[0, batch.push_idx].set(
                     pad_cols(ag0, D).astype(emb_ag.dtype))
             else:
                 dim = model.layer_input_dim(layer)
-                src_full = jax.lax.all_gather(emb[layer], axis, tiled=True)
-                x_in = jnp.take(src_full, batch.n_id, axis=0)[:, :dim].astype(
-                    jnp.float32)
+                x_in = exchange(emb[layer])[:, :dim].astype(jnp.float32)
                 ag = model.vr_aggregate(batch.adj, x_in)
                 emb_ag = emb_ag.at[layer, batch.push_idx].set(
                     pad_cols(ag, D).astype(emb_ag.dtype))
@@ -408,9 +499,10 @@ class ShardedVRTrainer:
         node2 = P_(axis, None)
         hist_spec = HistoryState(P_(None, axis, None), P_(None, axis, None))
         batch_spec = jax.tree.map(lambda _: P_(axis), self._eval_stacks[0])
+        halo_spec = jax.tree.map(lambda _: P_(axis), self._halo_plans[0])
         smapped = shard_map(
             local_fn, mesh=self.mesh,
-            in_specs=(rep, rep, hist_spec, node2, node2, batch_spec),
+            in_specs=(rep, rep, hist_spec, node2, node2, batch_spec, halo_spec),
             out_specs=(hist_spec, node2),
         )
         return jax.jit(smapped, donate_argnums=(2, 4))
@@ -421,10 +513,10 @@ class ShardedVRTrainer:
             if layer not in self._refresh_fns:
                 self._refresh_fns[layer] = self._make_refresh_layer(layer)
             fn = self._refresh_fns[layer]
-            for stack in self._eval_stacks:
+            for stack, halo in zip(self._eval_stacks, self._halo_plans):
                 self.hist, self.out_tab = fn(
                     self.params, self.state, self.hist, self.x_tab,
-                    self.out_tab, stack)
+                    self.out_tab, stack, halo)
         out_rows = np.asarray(self.out_tab)
         valid = self.layout.row_to_node >= 0
         logits = np.zeros((self.data.num_nodes, out_rows.shape[1]), np.float32)
