@@ -154,6 +154,12 @@ class ScalableGNN:
             self.cfg.num_layers, self.cfg.num_nodes, self.hist_dim, dtype
         )
 
+    #: when set (by the sharded GAS trainer during tracing), push_and_pull
+    #: pulls OB rows from other devices' slabs via the static halo exchange
+    #: instead of a same-table gather: (exchange_fn) with
+    #: exchange_fn: [slab, D] -> [C_pad, D]
+    _shard_halo = None
+
     def push_and_pull(
         self,
         hist_emb: jnp.ndarray,
@@ -170,7 +176,14 @@ class ScalableGNN:
         hist_emb = hist_emb.at[slot, batch.push_idx].set(
             pushed.astype(hist_emb.dtype)
         )
-        pulled = jnp.take(hist_emb[slot], batch.n_id, axis=0)[:, :d].astype(h.dtype)
+        if self._shard_halo is not None:
+            # multi-chip: OB rows live on other slabs; exchange the halo
+            # (all devices pushed this layer in lockstep before pulling)
+            pulled = self._shard_halo(hist_emb[slot])[:, :d].astype(h.dtype)
+        else:
+            pulled = jnp.take(hist_emb[slot], batch.n_id, axis=0)[:, :d].astype(
+                h.dtype
+            )
         ib = (jnp.arange(c_pad) < batch.batch_size)[:, None]
         x = jnp.where(ib, pad_rows(h, c_pad), pulled)
         return x, hist_emb

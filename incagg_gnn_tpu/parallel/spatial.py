@@ -56,6 +56,23 @@ def _round_up(x: int, a: int) -> int:
     return max(a, ((x + a - 1) // a) * a)
 
 
+def _make_exchange(halo, axis: str):
+    """Build the [slab, D] -> [C_pad, D] halo-assembly function for one
+    device's HaloPlan (static all_to_all over the mesh axis)."""
+    nd, h = halo.send_idx.shape
+
+    def exchange(src_local):
+        send = jnp.take(src_local, halo.send_idx.reshape(-1), axis=0)
+        send = send.reshape(nd, h, src_local.shape[1])
+        recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
+        recv_flat = recv.reshape(nd * h, src_local.shape[1])
+        local = jnp.take(src_local, halo.local_pos, axis=0)
+        remote = jnp.take(recv_flat, halo.remote_pos, axis=0)
+        return jnp.where(halo.is_local[:, None], local, remote)
+
+    return exchange
+
+
 @dataclasses.dataclass
 class _DevBatch:
     """Host-side per-device batch in slab row space."""
@@ -86,12 +103,19 @@ class HaloPlan(NamedTuple):
 
 
 class ShardedVRTrainer:
-    """Data+spatial-parallel Reverb trainer over a 1-D device mesh."""
+    """Data+spatial-parallel trainer over a 1-D device mesh.
+
+    Reverb mode (cfg.vr_update=True): IB-only batches, fully shard-local
+    pulls, zero cross-device data movement except the gradient psum.
+    GAS mode (cfg.vr_update=False): IB+OB batches per device; layer outputs
+    push into the local slab and OB rows are pulled from other slabs through
+    the static halo all_to_all (batch-parallel GAS — the reference's GAS rule
+    generalized to a pod slice)."""
 
     def __init__(self, model: ScalableGNN, data: GraphData, cfg: TrainerConfig,
                  mesh: Optional[Mesh] = None, n_devices: Optional[int] = None,
                  log: bool = False):
-        assert cfg.vr_update, "ShardedVRTrainer implements the Reverb/VR mode"
+        self.vr = cfg.vr_update
         self.model = model
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh(n_devices)
@@ -158,6 +182,7 @@ class ShardedVRTrainer:
         self._build_train_batches()
         self._build_eval_batches()
         self._step_fn = None
+        self._gas_step_fn = None
         self._refresh_fns: Dict = {}
         self._train_mask_host = row_tm
         if log:
@@ -182,8 +207,15 @@ class ShardedVRTrainer:
         ])
 
     def _build_train_batches(self):
-        """Per-device IB-only batches with slab-local indices, padded to a
-        common (rounds × bucket) schedule."""
+        """Per-device train batches: IB-only with slab-local indices for
+        Reverb (fully shard-local pulls), or IB+OB with halo plans for GAS
+        (push local, pull OB via all_to_all)."""
+        if not self.vr:
+            stacks, plans, rounds = self._build_gas_stacks(self.cfg.batch_size)
+            self._train_stacks = stacks
+            self._train_halos = plans
+            self._train_rounds = rounds
+            return
         lay = self.layout
         per_dev = [self._group(c, self.cfg.batch_size) for c in self._clusters_of_dev()]
         rounds = max(len(g) for g in per_dev)
@@ -227,13 +259,18 @@ class ShardedVRTrainer:
         ]
 
     def _build_eval_batches(self):
-        """Per-device GAS (IB+OB) refresh batches; n_id in *global row* space
-        (OB rows may belong to other slabs)."""
+        stacks, plans, rounds = self._build_gas_stacks(self.cfg.eval_batch_size)
+        self._eval_stacks = stacks
+        self._halo_plans = plans
+        self._eval_rounds = rounds
+
+    def _build_gas_stacks(self, group_size: int):
+        """Per-device GAS (IB+OB) batches with n_id in *global row* space
+        (OB rows may belong to other slabs) + their halo plans."""
         lay = self.layout
-        per_dev = [self._group(c, self.cfg.eval_batch_size)
+        per_dev = [self._group(c, group_size)
                    for c in self._clusters_of_dev()]
         rounds = max(len(g) for g in per_dev)
-        self._eval_rounds = rounds
         max_r = max_c = max_e = 1
         raw: List[List[_DevBatch]] = []
         for d in range(self.n_dev):
@@ -269,14 +306,15 @@ class ShardedVRTrainer:
                 )
             packed_rounds.append(per_round)
             stacks.append(jax.tree.map(lambda *xs: np.stack(xs), *per_round))
-        self._eval_stacks = [
+        dev_stacks = [
             jax.device_put(
                 jax.tree.map(jnp.asarray, s),
                 jax.tree.map(lambda _: NamedSharding(self.mesh, P(self.axis)), s),
             )
             for s in stacks
         ]
-        self._build_halo_plans(packed_rounds)
+        plans = self._build_halo_plans(packed_rounds)
+        return dev_stacks, plans, rounds
 
     def _build_halo_plans(self, packed_rounds):
         """Derive the static all-to-all halo schedule for every eval round
@@ -299,7 +337,6 @@ class ShardedVRTrainer:
                     h_max = max(h_max, len(sends[o][d]))
             round_sends.append(sends)
         h = _round_up(h_max, 8)
-        self._halo_width = h
 
         plans = []
         for per_round, sends in zip(packed_rounds, round_sends):
@@ -334,7 +371,7 @@ class ShardedVRTrainer:
                 jax.tree.map(jnp.asarray, stacked),
                 jax.tree.map(lambda _: NamedSharding(self.mesh, P(self.axis)), stacked),
             ))
-        self._halo_plans = plans
+        return plans
 
     def _hybrid_buckets(self, raw, r_pad, c_pad):
         """Common ELL/overflow bucket sizes across all devices' batches."""
@@ -442,6 +479,66 @@ class ShardedVRTrainer:
         )
         return jax.jit(smapped, donate_argnums=(0, 1, 2))
 
+    def _make_gas_step(self):
+        """Batch-parallel sharded GAS step: each device trains its own IB+OB
+        batch; layer outputs are pushed into the local slab and OB rows pulled
+        from other slabs via the static halo all_to_all (push_and_pull's
+        _shard_halo hook); gradients are psum'd."""
+        model, cfg, axis = self.model, self.cfg, self.axis
+
+        def local_step(params, opt_state, state, hist, batch, halo, x_tab,
+                       y_tab, tm_tab, rng):
+            batch = jax.tree.map(lambda a: a[0] if a.ndim > 0 else a, batch)
+            halo = jax.tree.map(lambda a: a[0], halo)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+            exchange = _make_exchange(halo, axis)
+            x = exchange(x_tab)
+            y = jnp.take(y_tab, batch.push_idx, axis=0)
+            mask = jnp.take(tm_tab, batch.push_idx, axis=0)
+            mask = mask & (jnp.arange(batch.push_idx.shape[0]) < batch.batch_size)
+
+            def loss_fn(p):
+                model._shard_halo = exchange
+                try:
+                    out, new_state, new_emb, aux = model.forward_gas(
+                        p, state, x, batch, hist.emb, rng, True,
+                        cfg.aggregate_combined, cfg.use_aggregation)
+                finally:
+                    model._shard_halo = None
+                loss, n = masked_loss(out, y, mask, self.multilabel)
+                return loss, (new_state, new_emb, n)
+
+            (loss, (new_state, new_emb, n)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            grads = jax.tree.map(lambda g: g * n, grads)
+            n_tot = jax.lax.psum(n, axis)
+            grads = jax.tree.map(
+                lambda g: jax.lax.psum(g, axis) / jnp.maximum(n_tot, 1.0), grads)
+            loss_tot = jax.lax.psum(loss * n, axis) / jnp.maximum(n_tot, 1.0)
+            new_state = jax.tree.map(
+                lambda a, b: jax.lax.pmean(b, axis), state, new_state)
+            import optax
+            updates, new_opt = self.tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            new_hist = HistoryState(new_emb, hist.emb_ag)
+            return new_params, new_opt, new_state, new_hist, loss_tot, n_tot
+
+        P_ = P
+        rep = P_()
+        node = P_(axis)
+        node2 = P_(axis, None)
+        hist_spec = HistoryState(P_(None, axis, None), P_(None, axis, None))
+        batch_spec = jax.tree.map(lambda _: P_(axis), self._train_stacks[0])
+        halo_spec = jax.tree.map(lambda _: P_(axis), self._train_halos[0])
+        y_spec = node if self.y_tab.ndim == 1 else node2
+        smapped = shard_map(
+            local_step, mesh=self.mesh,
+            in_specs=(rep, rep, rep, hist_spec, batch_spec, halo_spec, node2,
+                      y_spec, node, rep),
+            out_specs=(rep, rep, rep, hist_spec, rep, rep),
+        )
+        return jax.jit(smapped, donate_argnums=(0, 1, 2, 3))
+
     def _make_refresh_layer(self, layer: int):
         """One sharded refresh layer pass.  The source table rows a device
         needs from other slabs move via the **static halo all_to_all**
@@ -449,24 +546,13 @@ class ShardedVRTrainer:
         mesh-wide all_gather's N·D."""
         model, axis = self.model, self.axis
         L, D = model.cfg.num_layers, model.hist_dim
-        nd, h = self.n_dev, self._halo_width
 
         def local_fn(params, state, hist, x_tab, out_tab, batch, halo):
             batch = jax.tree.map(lambda a: a[0] if a.ndim > 0 else a, batch)
             halo = jax.tree.map(lambda a: a[0], halo)
             emb, emb_ag = hist.emb, hist.emb_ag  # local slabs [L, slab, D]
             r_pad = batch.adj.num_rows
-
-            def exchange(src_local):
-                """[slab, Dsrc] -> [C_pad, Dsrc] via the halo schedule."""
-                send = jnp.take(src_local, halo.send_idx.reshape(-1), axis=0)
-                send = send.reshape(nd, h, src_local.shape[1])
-                recv = jax.lax.all_to_all(send, axis, split_axis=0,
-                                          concat_axis=0)
-                recv_flat = recv.reshape(nd * h, src_local.shape[1])
-                local = jnp.take(src_local, halo.local_pos, axis=0)
-                remote = jnp.take(recv_flat, halo.remote_pos, axis=0)
-                return jnp.where(halo.is_local[:, None], local, remote)
+            exchange = _make_exchange(halo, axis)
 
             if layer == 0:
                 x_in = exchange(x_tab)
@@ -526,6 +612,8 @@ class ShardedVRTrainer:
     fill_history = refresh
 
     def train_epoch(self) -> Dict[str, float]:
+        if not self.vr:
+            return self._train_epoch_gas()
         if self._step_fn is None:
             self._step_fn = self._make_step()
         total_loss = total_n = 0.0
@@ -541,6 +629,29 @@ class ShardedVRTrainer:
             (self.params, self.opt_state, self.state, loss, n) = self._step_fn(
                 self.params, self.opt_state, self.state, self.hist, stack,
                 self.x_tab, self.y_tab, self.tm_tab, key)
+            total_loss += float(loss) * float(n)
+            total_n += float(n)
+            steps += 1
+            if steps >= self.cfg.max_steps > 0:
+                break
+        return {"loss": total_loss / max(total_n, 1.0), "steps": steps}
+
+    def _train_epoch_gas(self) -> Dict[str, float]:
+        if self._gas_step_fn is None:
+            self._gas_step_fn = self._make_gas_step()
+        total_loss = total_n = 0.0
+        steps = 0
+        order = np.random.default_rng(
+            (self.cfg.seed, getattr(self, "_epoch", 0))
+        ).permutation(len(self._train_stacks))
+        self._epoch = getattr(self, "_epoch", 0) + 1
+        for i in order:
+            self.rng, key = jax.random.split(self.rng)
+            (self.params, self.opt_state, self.state, self.hist, loss, n) = (
+                self._gas_step_fn(
+                    self.params, self.opt_state, self.state, self.hist,
+                    self._train_stacks[i], self._train_halos[i],
+                    self.x_tab, self.y_tab, self.tm_tab, key))
             total_loss += float(loss) * float(n)
             total_n += float(n)
             steps += 1

@@ -82,3 +82,19 @@ class TestShardedVR:
         tr.refresh()
         m = tr.train_epoch()
         assert np.isfinite(m["loss"])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 virtual devices")
+class TestShardedGASBatchParallel:
+    def test_gas_batch_parallel_learns(self, sbm_small):
+        """Batch-parallel sharded GAS: per-device IB+OB batches with halo
+        all_to_all pulls inside push_and_pull."""
+        data, in_c, out_c = sbm_small
+        cfg = GCNConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                        hidden_channels=32, out_channels=out_c, num_layers=2,
+                        dropout=0.1, drop_input=False)
+        tcfg = TrainerConfig(num_parts=8, batch_size=1, vr_update=False,
+                             epochs=8, lr=0.01, seed=0)
+        tr = ShardedVRTrainer(GCN(cfg), data, tcfg, mesh=make_mesh(4))
+        res = tr.fit()
+        assert res["best_test"] > 0.75, res
