@@ -448,4 +448,57 @@ int64_t sample_neighbors(const int64_t* rowptr, const int32_t* col,
   return off;
 }
 
+// ---------------------------------------------------------------------------
+// CSR -> ELL + COO-overflow conversion (the hybrid aggregation format,
+// ops/ell.py).  Fills caller-allocated buffers: ell_cols/ell_vals are
+// [num_rows_pad * k] row-major (caller pre-fills with trash/zero); overflow
+// arrays receive edges beyond k per row.  Returns the overflow count.
+int64_t csr_to_ell(const int64_t* rowptr, const int32_t* col,
+                   const float* value,  // nullable -> 1.0
+                   int64_t r, int64_t k, int32_t* ell_cols, float* ell_vals,
+                   int32_t* ovf_rows, int32_t* ovf_cols, float* ovf_vals,
+                   int64_t ovf_cap) {
+  int64_t ovf = 0;
+#pragma omp parallel for schedule(static) if (r > 8192)
+  for (int64_t i = 0; i < r; ++i) {
+    const int64_t start = rowptr[i], end = rowptr[i + 1];
+    const int64_t take = std::min<int64_t>(end - start, k);
+    for (int64_t j = 0; j < take; ++j) {
+      ell_cols[i * k + j] = col[start + j];
+      ell_vals[i * k + j] = value ? value[start + j] : 1.0f;
+    }
+  }
+  // overflow pass (serial: preserves sorted-row order for the COO tail)
+  for (int64_t i = 0; i < r; ++i) {
+    const int64_t start = rowptr[i], end = rowptr[i + 1];
+    for (int64_t j = start + k; j < end; ++j) {
+      if (ovf >= ovf_cap) return -1;  // caller must grow and retry
+      ovf_rows[ovf] = (int32_t)i;
+      ovf_cols[ovf] = col[j];
+      ovf_vals[ovf] = value ? value[j] : 1.0f;
+      ++ovf;
+    }
+  }
+  return ovf;
+}
+
+// CSR transpose via counting sort: [r x c] -> [c x r].
+void transpose_csr(const int64_t* rowptr, const int32_t* col,
+                   const float* value,  // nullable
+                   int64_t r, int64_t c, int64_t* t_rowptr, int32_t* t_col,
+                   float* t_val) {
+  const int64_t nnz = rowptr[r];
+  std::fill(t_rowptr, t_rowptr + c + 1, 0);
+  for (int64_t e = 0; e < nnz; ++e) ++t_rowptr[col[e] + 1];
+  for (int64_t i = 0; i < c; ++i) t_rowptr[i + 1] += t_rowptr[i];
+  std::vector<int64_t> cursor(t_rowptr, t_rowptr + c);
+  for (int64_t i = 0; i < r; ++i) {
+    for (int64_t e = rowptr[i]; e < rowptr[i + 1]; ++e) {
+      const int64_t pos = cursor[col[e]]++;
+      t_col[pos] = (int32_t)i;
+      if (value) t_val[pos] = value[e];
+    }
+  }
+}
+
 }  // extern "C"

@@ -92,6 +92,8 @@ def build_hybrid_adj(
     trash_col: Optional[int] = None,
 ) -> HybridAdj:
     """Host-side conversion CSR -> hybrid ELL/COO with static shapes."""
+    from incagg_gnn_tpu.utils.native import get_native_lib
+
     r = int(rowptr.shape[0] - 1)
     deg = np.diff(rowptr).astype(np.int64)
     if trash_col is None:
@@ -99,25 +101,32 @@ def build_hybrid_adj(
     if k is None:
         k = choose_k(deg)
 
-    ell_cols = np.full((num_rows_pad, k), trash_col, dtype=np.int32)
-    ell_vals = np.zeros((num_rows_pad, k), dtype=np.float32)
-    v = value if value is not None else np.ones(col.shape[0], dtype=np.float32)
-
-    take = np.minimum(deg, k)
-    # scatter the first `take[i]` edges of each row into the ELL slab
-    if col.shape[0]:
-        e_row = np.repeat(np.arange(r), deg)
-        e_pos = np.arange(col.shape[0]) - np.repeat(rowptr[:-1], deg)
-        in_ell = e_pos < k
-        ell_cols[e_row[in_ell], e_pos[in_ell]] = col[in_ell]
-        ell_vals[e_row[in_ell], e_pos[in_ell]] = v[in_ell]
-        ovf_rows = e_row[~in_ell].astype(np.int32)
-        ovf_cols = col[~in_ell].astype(np.int32)
-        ovf_vals = v[~in_ell].astype(np.float32)
+    lib = get_native_lib()
+    if lib is not None and col.shape[0] and r > 0:
+        cap = int(np.maximum(deg - k, 0).sum())
+        res = lib.csr_to_ell(rowptr, col, value, k, trash_col, cap)
+        ell_r, ellv_r, ovf_rows, ovf_cols, ovf_vals = res
+        ell_cols = np.full((num_rows_pad, k), trash_col, dtype=np.int32)
+        ell_vals = np.zeros((num_rows_pad, k), dtype=np.float32)
+        ell_cols[:r] = ell_r
+        ell_vals[:r] = ellv_r
     else:
-        ovf_rows = np.empty(0, np.int32)
-        ovf_cols = np.empty(0, np.int32)
-        ovf_vals = np.empty(0, np.float32)
+        ell_cols = np.full((num_rows_pad, k), trash_col, dtype=np.int32)
+        ell_vals = np.zeros((num_rows_pad, k), dtype=np.float32)
+        v = value if value is not None else np.ones(col.shape[0], dtype=np.float32)
+        if col.shape[0]:
+            e_row = np.repeat(np.arange(r), deg)
+            e_pos = np.arange(col.shape[0]) - np.repeat(rowptr[:-1], deg)
+            in_ell = e_pos < k
+            ell_cols[e_row[in_ell], e_pos[in_ell]] = col[in_ell]
+            ell_vals[e_row[in_ell], e_pos[in_ell]] = v[in_ell]
+            ovf_rows = e_row[~in_ell].astype(np.int32)
+            ovf_cols = col[~in_ell].astype(np.int32)
+            ovf_vals = v[~in_ell].astype(np.float32)
+        else:
+            ovf_rows = np.empty(0, np.int32)
+            ovf_cols = np.empty(0, np.int32)
+            ovf_vals = np.empty(0, np.float32)
 
     o = int(ovf_rows.shape[0])
     if ovf_pad is None:
@@ -246,18 +255,25 @@ def build_bi_hybrid_adj(
 ) -> BiHybridAdj:
     """Build the forward hybrid and its transpose ([C x R], trash col at
     R_pad-1) from one local CSR block."""
+    from incagg_gnn_tpu.utils.native import get_native_lib
+
     fwd = build_hybrid_adj(rowptr, col, value, num_rows_pad, num_cols_pad, k=k,
                            ovf_pad=ovf_pad)
     r = int(rowptr.shape[0] - 1)
-    deg = np.diff(rowptr)
-    rows = np.repeat(np.arange(r, dtype=np.int64), deg)
-    order = np.lexsort((rows, col))
-    t_rows = col.astype(np.int64)[order]
-    t_cols = rows[order].astype(np.int32)
-    t_vals = (value[order] if value is not None else None)
-    t_rowptr = np.zeros(num_cols_pad + 1, dtype=np.int64)
-    np.add.at(t_rowptr, t_rows + 1, 1)
-    t_rowptr = np.cumsum(t_rowptr)
+    lib = get_native_lib()
+    if lib is not None and col.shape[0]:
+        t_rowptr, t_cols, t_vals = lib.transpose_csr(rowptr, col, value,
+                                                     num_cols_pad)
+    else:
+        deg = np.diff(rowptr)
+        rows = np.repeat(np.arange(r, dtype=np.int64), deg)
+        order = np.lexsort((rows, col))
+        t_rows = col.astype(np.int64)[order]
+        t_cols = rows[order].astype(np.int32)
+        t_vals = (value[order] if value is not None else None)
+        t_rowptr = np.zeros(num_cols_pad + 1, dtype=np.int64)
+        np.add.at(t_rowptr, t_rows + 1, 1)
+        t_rowptr = np.cumsum(t_rowptr)
     bwd = build_hybrid_adj(
         t_rowptr, t_cols, t_vals, num_cols_pad, num_rows_pad, k=k_t,
         ovf_pad=ovf_pad_t, trash_col=num_rows_pad - 1,

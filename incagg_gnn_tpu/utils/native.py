@@ -78,6 +78,16 @@ class NativeGraphLib:
             _i64p, _i32p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_uint64, _i64p, _i32p, ctypes.c_void_p,
         ]
+        dll.csr_to_ell.restype = ctypes.c_int64
+        dll.csr_to_ell.argtypes = [
+            _i64p, _i32p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            _i32p, _f32p, _i32p, _i32p, _f32p, ctypes.c_int64,
+        ]
+        dll.transpose_csr.restype = None
+        dll.transpose_csr.argtypes = [
+            _i64p, _i32p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            _i64p, _i32p, ctypes.c_void_p,
+        ]
         self._node_map: Optional[np.ndarray] = None
 
     def _scratch(self, n: int) -> np.ndarray:
@@ -132,6 +142,37 @@ class NativeGraphLib:
         fn = self._dll.partition_multilevel if multilevel else self._dll.partition
         fn(rowptr, col, n, num_parts, refine_passes, seed, out)
         return out
+
+    def csr_to_ell(self, rowptr, col, value, k, trash_col, ovf_cap):
+        """Fill ELL slabs + COO overflow from CSR; returns
+        (ell_cols, ell_vals, ovf_rows, ovf_cols, ovf_vals, ovf_count) or
+        None when the overflow capacity is insufficient."""
+        r = rowptr.shape[0] - 1
+        ell_cols = np.full((r, k), trash_col, dtype=np.int32)
+        ell_vals = np.zeros((r, k), dtype=np.float32)
+        ovf_rows = np.empty(max(ovf_cap, 1), dtype=np.int32)
+        ovf_cols = np.empty(max(ovf_cap, 1), dtype=np.int32)
+        ovf_vals = np.empty(max(ovf_cap, 1), dtype=np.float32)
+        n = self._dll.csr_to_ell(
+            rowptr, np.ascontiguousarray(col, dtype=np.int32),
+            self._fptr(value), r, k, ell_cols.reshape(-1), ell_vals.reshape(-1),
+            ovf_rows, ovf_cols, ovf_vals, ovf_cap,
+        )
+        if n < 0:
+            return None
+        return ell_cols, ell_vals, ovf_rows[:n], ovf_cols[:n], ovf_vals[:n]
+
+    def transpose_csr(self, rowptr, col, value, num_cols):
+        r = rowptr.shape[0] - 1
+        nnz = int(rowptr[-1])
+        t_rowptr = np.empty(num_cols + 1, dtype=np.int64)
+        t_col = np.empty(nnz, dtype=np.int32)
+        t_val = np.empty(nnz, dtype=np.float32) if value is not None else None
+        self._dll.transpose_csr(
+            rowptr, np.ascontiguousarray(col, dtype=np.int32),
+            self._fptr(value), r, num_cols, t_rowptr, t_col, self._fptr(t_val),
+        )
+        return t_rowptr, t_col, t_val
 
     def sample_neighbors(self, rowptr, col, value, num_neighbors, seed):
         num_rows = rowptr.shape[0] - 1
