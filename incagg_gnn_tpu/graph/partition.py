@@ -17,7 +17,7 @@ implementation and is used in tests as the oracle.
 from __future__ import annotations
 
 import time
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from incagg_gnn_tpu.graph.csr import CSRGraph, GraphData
+from incagg_gnn_tpu.graph.csr import GraphData
 from incagg_gnn_tpu.graph.relabel import (
     relabel_one_hop,
     relabel_one_hop_within_batch,

@@ -24,7 +24,6 @@ Design deltas vs. the reference (all SURVEY §7):
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

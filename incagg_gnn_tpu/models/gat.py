@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from incagg_gnn_tpu.history import HistoryState
 from incagg_gnn_tpu.models.base import BaseConfig, ScalableGNN
-from incagg_gnn_tpu.models.nn import dropout, linear_init
+from incagg_gnn_tpu.models.nn import dropout
 from incagg_gnn_tpu.ops.spmm import PaddedAdj, segment_softmax
 
 import jax.ops

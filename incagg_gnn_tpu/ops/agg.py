@@ -15,8 +15,6 @@ edges/s; hybrid ELL 106M edges/s.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from incagg_gnn_tpu.ops.ell import (
     BiHybridAdj,
     HybridAdj,

@@ -19,7 +19,7 @@ ELL padding waste while keeping the overflow tail short.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

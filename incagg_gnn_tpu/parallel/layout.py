@@ -16,11 +16,8 @@ local to its shard.
 from __future__ import annotations
 
 import dataclasses
-from typing import List
-
 import numpy as np
 
-from incagg_gnn_tpu.graph.csr import GraphData
 
 
 @dataclasses.dataclass

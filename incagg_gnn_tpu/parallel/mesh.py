@@ -7,7 +7,7 @@ multi-chip structure in this framework is new, built on ``jax.sharding.Mesh``
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

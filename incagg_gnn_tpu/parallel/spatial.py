@@ -27,7 +27,6 @@ are literally the same functions.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Dict, List, NamedTuple, Optional
 
 import jax
@@ -44,7 +43,7 @@ from incagg_gnn_tpu.loader import SubgraphBatch
 from incagg_gnn_tpu.models.base import ScalableGNN
 from incagg_gnn_tpu.models.nn import pad_cols
 from incagg_gnn_tpu.ops.spmm import build_padded_adj
-from incagg_gnn_tpu.parallel.layout import ShardLayout, build_shard_layout, scatter_table
+from incagg_gnn_tpu.parallel.layout import build_shard_layout, scatter_table
 from incagg_gnn_tpu.parallel.mesh import make_mesh
 from incagg_gnn_tpu.train.optim import make_optimizer
 from incagg_gnn_tpu.train.steps import masked_loss

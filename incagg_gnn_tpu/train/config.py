@@ -10,7 +10,7 @@ VR_update/... , SURVEY §2.9).  Plain YAML + dataclasses, no Hydra dependency.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import yaml
 

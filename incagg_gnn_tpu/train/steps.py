@@ -10,8 +10,6 @@ history buffers donated so every update is in-place in HBM.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import optax
