@@ -47,6 +47,9 @@ def main(argv=None):
     ap.add_argument("--root", default="/tmp/datasets")
     ap.add_argument("--n-devices", type=int, default=0,
                     help="shard over N devices (VR mode only); 0 = single chip")
+    ap.add_argument("--runs", type=int, default=1,
+                    help="repeat with seeds seed..seed+runs-1, report mean±std "
+                         "(the reference README's accuracy-table protocol)")
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("overrides", nargs="*", help="key=value overrides")
     args = ap.parse_args(argv)
@@ -62,6 +65,31 @@ def main(argv=None):
     data, in_c, out_c = get_data(run_cfg.root, run_cfg.dataset)
     log.info(f"data: {run_cfg.dataset} N={data.num_nodes} E={data.adj_t.nnz} "
              f"F={in_c} C={out_c} [{time.perf_counter() - t:.1f}s]")
+
+    if args.runs > 1:
+        import dataclasses as _dc
+
+        import numpy as _np
+
+        vals, tests = [], []
+        base_seed = run_cfg.trainer.seed
+        for r in range(args.runs):
+            run_cfg.trainer = _dc.replace(run_cfg.trainer, seed=base_seed + r)
+            v, t_acc = _run_once(args, run_cfg, data, in_c, out_c)
+            vals.append(v)
+            tests.append(t_acc)
+            log.info(f"run {r}: val {v:.4f} test {t_acc:.4f}")
+        log.info(
+            f"{args.runs} runs — Val: {_np.mean(vals):.4f} ± {_np.std(vals):.4f}, "
+            f"Test: {_np.mean(tests):.4f} ± {_np.std(tests):.4f}"
+        )
+        return float(_np.mean(vals)), float(_np.mean(tests))
+
+    return _run_once(args, run_cfg, data, in_c, out_c)
+
+
+def _run_once(args, run_cfg, data, in_c, out_c):
+    from incagg_gnn_tpu.train.trainer import Trainer
 
     model = build_model(run_cfg, data, in_c, out_c)
     log.info(f"model: {run_cfg.model} {run_cfg.architecture} "
