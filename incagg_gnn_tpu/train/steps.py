@@ -86,6 +86,66 @@ def make_gas_train_step(
     return step
 
 
+def make_vr_epoch_scan(
+    model: ScalableGNN,
+    tx: optax.GradientTransformation,
+    multilabel: bool = False,
+    drift_norm: int = 2,
+):
+    """A whole Reverb epoch as ONE jitted program: ``lax.scan`` over the
+    stacked (identically-shaped) train batches, carrying params/opt/BN state.
+    Collapses per-step dispatch+transfer overhead — measured to dominate the
+    per-step cost at 1M-node scale (docs/RESULTS.md).  Batches whose train
+    mask is empty contribute zero gradients and leave all state untouched
+    (the reference skips them host-side, main.py:65-66)."""
+
+    def step_core(params, opt_state, state, hist, batch, tables, rng):
+        x = jnp.take(tables.x, batch.n_id, axis=0).astype(jnp.float32)
+        y = jnp.take(tables.y, batch.push_idx, axis=0)
+        mask = jnp.take(tables.train_mask, batch.push_idx, axis=0)
+        mask = mask & (jnp.arange(batch.push_idx.shape[0]) < batch.batch_size)
+
+        def loss_fn(p):
+            out, new_state, aux = model.forward_vr(
+                p, state, x, batch, hist, rng, True, drift_norm
+            )
+            loss, n = masked_loss(out, y, mask, multilabel)
+            return loss, (new_state, n)
+
+        (loss, (new_state, n)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        keep = n > 0
+
+        def sel(new, old):
+            return jax.tree.map(lambda a, b: jnp.where(keep, a, b), new, old)
+
+        return sel(new_params, params), sel(new_opt_state, opt_state), sel(
+            new_state, state
+        ), loss, n
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+    def run(params, opt_state, state, hist: HistoryState, batch_stack,
+            tables: DeviceTables, rng: jax.Array):
+        def body(carry, batch):
+            params, opt_state, state, rng = carry
+            rng, key = jax.random.split(rng)
+            params, opt_state, state, loss, n = step_core(
+                params, opt_state, state, hist, batch, tables, key
+            )
+            return (params, opt_state, state, rng), (loss, n)
+
+        (params, opt_state, state, _), (losses, ns) = jax.lax.scan(
+            body, (params, opt_state, state, rng), batch_stack
+        )
+        total_n = jnp.maximum(ns.sum(), 1.0)
+        return params, opt_state, state, (losses * ns).sum() / total_n, ns.sum()
+
+    return run
+
+
 def make_vr_train_step(
     model: ScalableGNN,
     tx: optax.GradientTransformation,

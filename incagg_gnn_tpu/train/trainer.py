@@ -62,6 +62,11 @@ class TrainerConfig:
     # (1.7x faster on v5e) except where COO is required (GAT attention,
     # edge dropout); or force "coo" / "hybrid"
     adj_format: str = "auto"
+    # Reverb only: run the whole epoch as one scanned jit (eliminates
+    # per-step dispatch; needs all epoch batches staged on device). "auto"
+    # enables it when the stacked batches fit a ~1.5GB budget and neither
+    # mid-epoch refresh, edge dropout, nor max_steps is in play.
+    fused_epoch: str = "auto"  # "auto" | "on" | "off"
 
 
 class Trainer:
@@ -251,8 +256,56 @@ class Trainer:
         )
         return logits
 
+    def _fused_epoch_ok(self, batches) -> bool:
+        cfg = self.cfg
+        if not cfg.vr_update or cfg.fused_epoch == "off":
+            return False
+        if (cfg.period_updates_in_one_epoch > 0 or cfg.edge_dropout > 0.0
+                or 0 < cfg.max_steps < len(batches) or len(batches) < 2):
+            return False
+        leaves = jax.tree_util.tree_leaves(batches[0].device)
+        for hb in batches[1:]:
+            ls = jax.tree_util.tree_leaves(hb.device)
+            if len(ls) != len(leaves) or any(
+                a.shape != b.shape for a, b in zip(ls, leaves)
+            ):
+                return False  # a pad bucket grew mid-materialization
+        per = sum(int(np.prod(l.shape)) * l.dtype.itemsize for l in leaves)
+        return per * len(batches) < 1_500_000_000
+
+    def _train_epoch_fused(self, batches) -> Dict[str, float]:
+        """Whole epoch as one scanned jit (make_vr_epoch_scan)."""
+        if getattr(self, "_fused_fn", None) is None:
+            from incagg_gnn_tpu.train.steps import make_vr_epoch_scan
+
+            self._fused_fn = make_vr_epoch_scan(
+                self.model, self.tx, multilabel=self.multilabel,
+                drift_norm=self.cfg.drift_norm,
+            )
+        stack = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[hb.device for hb in batches]
+        )
+        self.rng, key = jax.random.split(self.rng)
+        t0 = time.perf_counter()
+        (self.params, self.opt_state, self.state, loss, n) = self._fused_fn(
+            self.params, self.opt_state, self.state, self.hist, stack,
+            self.tables, key,
+        )
+        out = {"loss": float(loss), "steps": len(batches), "drift": 0.0,
+               "epoch_s": time.perf_counter() - t0}
+        self.metrics.log("train_epoch", **out)
+        return out
+
     def train_epoch(self) -> Dict[str, float]:
         """One training epoch (mini_train, main.py:47-96)."""
+        if self.cfg.vr_update and self.cfg.fused_epoch != "off":
+            batches = list(self.train_loader)
+            if self._fused_epoch_ok(batches):
+                return self._train_epoch_fused(batches)
+            return self._train_epoch_loop(iter(batches))
+        return self._train_epoch_loop(None)
+
+    def _train_epoch_loop(self, prebuilt) -> Dict[str, float]:
         total_loss = total_n = total_drift = 0.0
         steps = 0
         t0 = time.perf_counter()
@@ -265,7 +318,8 @@ class Trainer:
             )
         from incagg_gnn_tpu.utils.prefetch import prefetch
 
-        for hb in prefetch(iter(self.train_loader), depth=2):
+        source = prebuilt if prebuilt is not None else iter(self.train_loader)
+        for hb in prefetch(source, depth=2):
             if period and steps > 0 and steps % period == 0:
                 self._refresh()
             if not self._train_mask_host[hb.n_id[: hb.batch_size]].any():
