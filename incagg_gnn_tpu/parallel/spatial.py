@@ -428,41 +428,47 @@ class ShardedVRTrainer:
         )
 
     # ------------------------------------------------------------------
-    def _make_step(self):
+    def _vr_step_core(self, params, opt_state, state, hist, batch, x_tab,
+                      y_tab, tm_tab, rng):
+        """One shard-local Reverb step (inside shard_map)."""
         model, cfg, axis = self.model, self.cfg, self.axis
-        mesh = self.mesh
+        x = jnp.take(x_tab, batch.n_id, axis=0)
+        y = jnp.take(y_tab, batch.push_idx, axis=0)
+        mask = jnp.take(tm_tab, batch.push_idx, axis=0)
+        mask = mask & (jnp.arange(batch.push_idx.shape[0]) < batch.batch_size)
+
+        def loss_fn(p):
+            out, new_state, aux = model.forward_vr(
+                p, state, x, batch, hist, rng, True, cfg.drift_norm)
+            loss, n = masked_loss(out, y, mask, self.multilabel)
+            return loss, (new_state, n)
+
+        (loss, (new_state, n)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        # weight each device's grads by its train-node count, then
+        # normalize — equivalent to a global mean over train nodes
+        grads = jax.tree.map(lambda g: g * n, grads)
+        n_tot = jax.lax.psum(n, axis)
+        grads = jax.tree.map(
+            lambda g: jax.lax.psum(g, axis) / jnp.maximum(n_tot, 1.0), grads)
+        loss_tot = jax.lax.psum(loss * n, axis) / jnp.maximum(n_tot, 1.0)
+        new_state = jax.tree.map(
+            lambda a, b: jax.lax.pmean(b, axis), state, new_state)
+        import optax
+        updates, new_opt = self.tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_opt, new_state, loss_tot, n_tot
+
+    def _make_step(self):
+        axis = self.axis
         P_ = P
 
         def local_step(params, opt_state, state, hist, batch, x_tab, y_tab,
                        tm_tab, rng):
             batch = jax.tree.map(lambda a: a[0] if a.ndim > 0 else a, batch)
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
-            x = jnp.take(x_tab, batch.n_id, axis=0)
-            y = jnp.take(y_tab, batch.push_idx, axis=0)
-            mask = jnp.take(tm_tab, batch.push_idx, axis=0)
-            mask = mask & (jnp.arange(batch.push_idx.shape[0]) < batch.batch_size)
-
-            def loss_fn(p):
-                out, new_state, aux = model.forward_vr(
-                    p, state, x, batch, hist, rng, True, cfg.drift_norm)
-                loss, n = masked_loss(out, y, mask, self.multilabel)
-                return loss, (new_state, n)
-
-            (loss, (new_state, n)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
-            # weight each device's grads by its train-node count, then
-            # normalize — equivalent to a global mean over train nodes
-            grads = jax.tree.map(lambda g: g * n, grads)
-            n_tot = jax.lax.psum(n, axis)
-            grads = jax.tree.map(
-                lambda g: jax.lax.psum(g, axis) / jnp.maximum(n_tot, 1.0), grads)
-            loss_tot = jax.lax.psum(loss * n, axis) / jnp.maximum(n_tot, 1.0)
-            new_state = jax.tree.map(
-                lambda a, b: jax.lax.pmean(b, axis), state, new_state)
-            import optax
-            updates, new_opt = self.tx.update(grads, opt_state, params)
-            new_params = optax.apply_updates(params, updates)
-            return new_params, new_opt, new_state, loss_tot, n_tot
+            return self._vr_step_core(params, opt_state, state, hist, batch,
+                                      x_tab, y_tab, tm_tab, rng)
 
         rep = P_()
         node = P_(axis)
@@ -472,7 +478,47 @@ class ShardedVRTrainer:
         y_spec = node if self.y_tab.ndim == 1 else node2
 
         smapped = shard_map(
-            local_step, mesh=mesh,
+            local_step, mesh=self.mesh,
+            in_specs=(rep, rep, rep, hist_spec, batch_spec, node2, y_spec, node, rep),
+            out_specs=(rep, rep, rep, rep, rep),
+        )
+        return jax.jit(smapped, donate_argnums=(0, 1, 2))
+
+    def _make_fused_epoch(self, num_rounds: int):
+        """Whole sharded Reverb epoch as one jit: lax.scan over the round
+        axis inside shard_map (per-step psum collectives run inside the scan
+        body), carrying params/opt/BN state."""
+        axis = self.axis
+        P_ = P
+
+        def local_epoch(params, opt_state, state, hist, batch_rounds, x_tab,
+                        y_tab, tm_tab, rng):
+            # leading device dim 1 -> squeeze; keeps the round axis
+            batch_rounds = jax.tree.map(lambda a: a[0], batch_rounds)
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+
+            def body(carry, batch):
+                params, opt_state, state, rng = carry
+                rng, key = jax.random.split(rng)
+                params, opt_state, state, loss, n = self._vr_step_core(
+                    params, opt_state, state, hist, batch, x_tab, y_tab,
+                    tm_tab, key)
+                return (params, opt_state, state, rng), (loss, n)
+
+            (params, opt_state, state, _), (losses, ns) = jax.lax.scan(
+                body, (params, opt_state, state, rng), batch_rounds)
+            total_n = jnp.maximum(ns.sum(), 1.0)
+            return params, opt_state, state, (losses * ns).sum() / total_n, ns.sum()
+
+        rep = P_()
+        node = P_(axis)
+        node2 = P_(axis, None)
+        hist_spec = HistoryState(P_(None, axis, None), P_(None, axis, None))
+        # stacked rounds: leaves [n_dev, R, ...] sharded on the device dim
+        batch_spec = jax.tree.map(lambda _: P_(axis), self._train_stacks[0])
+        y_spec = node if self.y_tab.ndim == 1 else node2
+        smapped = shard_map(
+            local_epoch, mesh=self.mesh,
             in_specs=(rep, rep, rep, hist_spec, batch_spec, node2, y_spec, node, rep),
             out_specs=(rep, rep, rep, rep, rep),
         )
@@ -613,6 +659,20 @@ class ShardedVRTrainer:
     def train_epoch(self) -> Dict[str, float]:
         if not self.vr:
             return self._train_epoch_gas()
+        # fused path: scan over rounds in one jit when no max_steps cap
+        if not (0 < self.cfg.max_steps < self._train_rounds):
+            if getattr(self, "_fused_epoch_fn", None) is None:
+                self._fused_epoch_fn = self._make_fused_epoch(self._train_rounds)
+                # stack the round list once: leaves [n_dev, R, ...]
+                self._train_rounds_stacked = jax.tree.map(
+                    lambda *xs: jnp.stack(xs, axis=1), *self._train_stacks)
+            self.rng, key = jax.random.split(self.rng)
+            (self.params, self.opt_state, self.state, loss, n) = (
+                self._fused_epoch_fn(
+                    self.params, self.opt_state, self.state, self.hist,
+                    self._train_rounds_stacked, self.x_tab, self.y_tab,
+                    self.tm_tab, key))
+            return {"loss": float(loss), "steps": self._train_rounds}
         if self._step_fn is None:
             self._step_fn = self._make_step()
         total_loss = total_n = 0.0
