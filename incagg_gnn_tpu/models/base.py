@@ -344,23 +344,38 @@ class ScalableGNN:
             ):
                 homogeneous = False
                 break
-        stack_bytes = len(batches) * sum(
+        per_batch_bytes = sum(
             int(np.prod(l.shape)) * l.dtype.itemsize for l in ref_leaves
         )
         use_scan = (
             scan and homogeneous and len(batches) > 1
-            and stack_bytes < 2_000_000_000  # stacked batches must fit HBM
             and type(self)._refresh_layer_fn == ScalableGNN._refresh_layer_fn
         )
         if use_scan:
-            stack = jax.tree.map(
-                lambda *xs: jnp.stack(xs), *[b.device for b in batches]
-            )
+            # chunk the scan so the staged batch stack stays within a fixed
+            # HBM budget; the tail chunk is padded by repeating the last batch
+            # (refresh pushes are idempotent, so repeats are harmless)
+            budget = 1_500_000_000
+            chunk = max(1, min(len(batches), budget // max(per_batch_bytes, 1)))
+            devs = [b.device for b in batches]
+            while len(devs) % chunk:
+                devs.append(devs[-1])
+            resident = len(devs) * per_batch_bytes <= budget
+
+            def make_chunk(i):
+                return jax.tree.map(
+                    lambda *xs: jnp.stack(xs), *devs[i : i + chunk]
+                )
+
+            chunk_starts = list(range(0, len(devs), chunk))
+            cached = [make_chunk(i) for i in chunk_starts] if resident else None
             for layer in range(self.cfg.num_layers):
                 jfn = self._refresh_layer_scan_fn(layer, vr, use_aggregation)
-                hist, out_table = jfn(
-                    params, state, hist, x_table, out_table, stack
-                )
+                for ci, i in enumerate(chunk_starts):
+                    stack = cached[ci] if resident else make_chunk(i)
+                    hist, out_table = jfn(
+                        params, state, hist, x_table, out_table, stack
+                    )
         else:
             for layer in range(self.cfg.num_layers):
                 jfn = self._refresh_layer_fn(layer, vr, use_aggregation)
