@@ -369,10 +369,19 @@ class ScalableGNN:
 
             chunk_starts = list(range(0, len(devs), chunk))
             cached = [make_chunk(i) for i in chunk_starts] if resident else None
+            from incagg_gnn_tpu.utils.prefetch import prefetch
+
             for layer in range(self.cfg.num_layers):
                 jfn = self._refresh_layer_scan_fn(layer, vr, use_aggregation)
-                for ci, i in enumerate(chunk_starts):
-                    stack = cached[ci] if resident else make_chunk(i)
+                if resident:
+                    stacks = iter(cached)
+                else:
+                    # stage the next chunk on a background thread while the
+                    # device works on the current one
+                    stacks = prefetch(
+                        (make_chunk(i) for i in chunk_starts), depth=1
+                    )
+                for stack in stacks:
                     hist, out_table = jfn(
                         params, state, hist, x_table, out_table, stack
                     )
