@@ -263,6 +263,12 @@ class Trainer:
         if (cfg.period_updates_in_one_epoch > 0 or cfg.edge_dropout > 0.0
                 or 0 < cfg.max_steps < len(batches) or len(batches) < 2):
             return False
+        # shuffled batches must be re-staged every epoch; past ~64 batches the
+        # staging cost can exceed the dispatch savings (measured at 1M nodes /
+        # 150 single-cluster batches: fused 155-226 s vs loop 84 s through the
+        # remote-chip tunnel).  Force with fused_epoch="on".
+        if cfg.fused_epoch == "auto" and len(batches) > 64:
+            return False
         leaves = jax.tree_util.tree_leaves(batches[0].device)
         for hb in batches[1:]:
             ls = jax.tree_util.tree_leaves(hb.device)
