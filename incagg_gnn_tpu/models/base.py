@@ -347,8 +347,14 @@ class ScalableGNN:
         per_batch_bytes = sum(
             int(np.prod(l.shape)) * l.dtype.itemsize for l in ref_leaves
         )
+        total_bytes = per_batch_bytes * len(batches)
+        # non-resident chunked scanning restages every chunk once per LAYER
+        # (L x transfers); the per-batch path transfers each batch once per
+        # refresh.  Only scan when the stacks stay resident or the batch
+        # count is small enough that restaging is cheap.
         use_scan = (
             scan and homogeneous and len(batches) > 1
+            and (total_bytes <= 1_500_000_000 or len(batches) <= 64)
             and type(self)._refresh_layer_fn == ScalableGNN._refresh_layer_fn
         )
         if use_scan:
