@@ -23,6 +23,14 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compilation cache: compiles through the chip tunnel take
+    # minutes; cache them across bench invocations
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/incagg_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from incagg_gnn_tpu.graph.csr import gcn_norm
