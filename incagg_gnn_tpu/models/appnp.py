@@ -140,11 +140,13 @@ class APPNP(ScalableGNN):
         return x, state, aux
 
     # ---------------- layer-wise eval (appnp.py:140-166) ----------------
-    def forward_layer(self, params, state, layer, x, x0_ib, adj, use_aggregation=True):
+    def forward_layer(self, params, state, layer, x, x0_ib, adj,
+                      use_aggregation=True, pre_agg=None):
         c = self.cfg
         if layer == 0:
             x = self.layer0_cache_input(params, x)
             x0_ib = x[: adj.num_rows]
         if use_aggregation:
-            return (1 - c.alpha) * spmm(adj, x) + c.alpha * x0_ib
+            agg = pre_agg if pre_agg is not None else spmm(adj, x)
+            return (1 - c.alpha) * agg + c.alpha * x0_ib
         return (1 - c.alpha) * x[: adj.num_rows] + c.alpha * x0_ib

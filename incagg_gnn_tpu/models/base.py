@@ -123,9 +123,12 @@ class ScalableGNN:
         x0_ib: Optional[jnp.ndarray],
         adj: PaddedAdj,
         use_aggregation: bool = True,
+        pre_agg: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """One layer for the layer-wise refresh sweep (eval mode, no dropout;
-        reference per-model ``forward_layer``)."""
+        reference per-model ``forward_layer``).  ``pre_agg``, when given, is
+        this layer's neighborhood aggregation of ``x`` (already computed for
+        the M_ag cache) — models reuse it instead of re-aggregating."""
         raise NotImplementedError
 
     def layer0_cache_input(self, params: Params, x: jnp.ndarray) -> jnp.ndarray:
@@ -227,6 +230,8 @@ class ScalableGNN:
             adj = batch.adj
             r_pad = adj.num_rows
             emb, emb_ag = hist.emb, hist.emb_ag
+            pre_agg = None  # VR refresh reuses the M_ag aggregation in the
+            # layer forward (they are the same A @ x; halves refresh cost)
             if layer == 0:
                 x_in = jnp.take(x_table, batch.n_id, axis=0)
                 if vr or self.needs_x0:
@@ -239,6 +244,7 @@ class ScalableGNN:
                         emb_ag = emb_ag.at[0, batch.push_idx].set(
                             pad_cols(ag0, D).astype(emb_ag.dtype)
                         )
+                        pre_agg = ag0
             else:
                 dim = self.layer_input_dim(layer)
                 x_in = jnp.take(emb[layer], batch.n_id, axis=0)[:, :dim].astype(
@@ -249,6 +255,7 @@ class ScalableGNN:
                     emb_ag = emb_ag.at[layer, batch.push_idx].set(
                         pad_cols(ag, D).astype(emb_ag.dtype)
                     )
+                    pre_agg = ag
             x0_ib = None
             if self.needs_x0 and layer > 0:
                 # layer 0 computes x0 inline in forward_layer; later layers
@@ -257,7 +264,8 @@ class ScalableGNN:
                     :, : self.x0_dim
                 ].astype(jnp.float32)
             out = self.forward_layer(
-                params, state, layer, x_in, x0_ib, adj, use_aggregation
+                params, state, layer, x_in, x0_ib, adj, use_aggregation,
+                pre_agg=pre_agg if use_aggregation else None,
             )
             if layer < L - 1:
                 emb = emb.at[layer + 1, batch.push_idx].set(

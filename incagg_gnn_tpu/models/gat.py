@@ -156,7 +156,9 @@ class GAT(ScalableGNN):
         return out, state, {"drift": jnp.zeros(())}
 
     # ---------------- layer-wise eval (gat.py:58-66) ----------------
-    def forward_layer(self, params, state, layer, x, x0_ib, adj, use_aggregation=True):
+    def forward_layer(self, params, state, layer, x, x0_ib, adj,
+                      use_aggregation=True, pre_agg=None):  # pre_agg unused:
+        # multi-aggregator/attention forwards can't reuse the cached mean/sum
         h = self._conv(params, layer, x, adj, None, False)
         if layer < self.cfg.num_layers - 1:
             h = jax.nn.elu(h)

@@ -242,12 +242,17 @@ class GCN(ScalableGNN):
         return h, {"bns": new_bns}, metrics
 
     # ---------------- layer-wise eval ----------------
-    def forward_layer(self, params, state, layer, x, x0_ib, adj, use_aggregation=True):
+    def forward_layer(self, params, state, layer, x, x0_ib, adj,
+                      use_aggregation=True, pre_agg=None):
         c = self.cfg
         if layer == 0 and c.linear:
             x = jax.nn.relu(linear(params["lins"][0], x))
         if use_aggregation:
-            h = gcn_conv(params["convs"][layer], x, adj)
+            if pre_agg is not None:
+                # reuse the M_ag aggregation: A@(xW) == (A@x)W
+                h = linear(params["convs"][layer], pre_agg)
+            else:
+                h = gcn_conv(params["convs"][layer], x, adj)
         else:
             h = linear(params["convs"][layer], x[: adj.num_rows])
         if layer < c.num_layers - 1 or c.linear:

@@ -223,13 +223,15 @@ class GCN2(ScalableGNN):
         return out, {"bns": new_bns}, aux
 
     # ---------------- layer-wise eval (gcn2.py:325-374) ----------------
-    def forward_layer(self, params, state, layer, x, x0_ib, adj, use_aggregation=True):
+    def forward_layer(self, params, state, layer, x, x0_ib, adj,
+                      use_aggregation=True, pre_agg=None):
         c = self.cfg
         if layer == 0:
             x = x0_full = jax.nn.relu(linear(params["lins"][0], x))
             x0_ib = x0_full[: adj.num_rows]
         if use_aggregation:
-            h = gcn2_update(params["convs"][layer], c, layer, spmm(adj, x), x0_ib)
+            agg = pre_agg if pre_agg is not None else spmm(adj, x)
+            h = gcn2_update(params["convs"][layer], c, layer, agg, x0_ib)
         else:
             h = gcn2_no_neighbor(params["convs"][layer], c, layer,
                                  x[: adj.num_rows], x0_ib)

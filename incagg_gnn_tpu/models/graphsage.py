@@ -223,12 +223,18 @@ class GraphSAGE(ScalableGNN):
         return out, {"bns": new_bns}, aux
 
     # ---------------- layer-wise eval (graphsage.py:713-765) ----------------
-    def forward_layer(self, params, state, layer, x, x0_ib, adj, use_aggregation=True):
+    def forward_layer(self, params, state, layer, x, x0_ib, adj,
+                      use_aggregation=True, pre_agg=None):
         c = self.cfg
         if layer == 0 and c.linear:
             x = jax.nn.relu(linear(params["lins"][0], x))
         if use_aggregation:
-            h = sage_conv(params["convs"][layer], x, adj)
+            if pre_agg is not None:
+                # M_ag is the same binarized-mean aggregation SAGEConv uses
+                h = linear(params["convs"][layer]["lin_l"], pre_agg)
+                h = h + linear(params["convs"][layer]["lin_r"], x[: adj.num_rows])
+            else:
+                h = sage_conv(params["convs"][layer], x, adj)
         else:
             xr = x[: adj.num_rows]
             h = linear(params["convs"][layer]["lin_l"], xr) + linear(

@@ -194,7 +194,9 @@ class PNA(ScalableGNN):
         return out, {"bns": new_bns}, aux
 
     # ---------------- layer-wise eval (pna.py:282-295) ----------------
-    def forward_layer(self, params, state, layer, x, x0_ib, adj, use_aggregation=True):
+    def forward_layer(self, params, state, layer, x, x0_ib, adj,
+                      use_aggregation=True, pre_agg=None):  # pre_agg unused:
+        # multi-aggregator/attention forwards can't reuse the cached mean/sum
         c = self.cfg
         h = pna_conv(params["convs"][layer], c, x, adj)
         if layer < c.num_layers - 1:

@@ -125,7 +125,9 @@ class PNA_JK(PNA):
         out = linear(params["jk"], jnp.concatenate(xs, axis=-1))
         return out, {"bns": new_bns}, {"drift": jnp.zeros(())}
 
-    def forward_layer(self, params, state, layer, x, x0_ib, adj, use_aggregation=True):
+    def forward_layer(self, params, state, layer, x, x0_ib, adj,
+                      use_aggregation=True, pre_agg=None):  # pre_agg unused:
+        # multi-aggregator/attention forwards can't reuse the cached mean/sum
         """Per-layer sweep pass (pna_jk.py:101-126): every layer applies
         bn+relu; the JK concat is assembled by the generic refresh via the
         jk_state hook (layer outputs are exactly emb[1..L-1] plus this)."""
