@@ -233,7 +233,7 @@ class ScalableGNN:
             pre_agg = None  # VR refresh reuses the M_ag aggregation in the
             # layer forward (they are the same A @ x; halves refresh cost)
             if layer == 0:
-                x_in = jnp.take(x_table, batch.n_id, axis=0)
+                x_in = jnp.take(x_table, batch.n_id, axis=0).astype(jnp.float32)
                 if vr or self.needs_x0:
                     m0 = self.layer0_cache_input(params, x_in)
                     emb = emb.at[0, batch.push_idx].set(

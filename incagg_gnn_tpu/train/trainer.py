@@ -51,6 +51,8 @@ class TrainerConfig:
     log_every: int = 1
     eval_batch_size: int = 1  # clusters per eval batch (conf.batch_size reuse)
     hist_dtype: str = "float32"  # or "bfloat16" to halve cache HBM
+    x_dtype: str = "float32"  # or "bfloat16": halves feature-gather traffic
+    # (aggregations upcast to f32; layer math unchanged)
     metrics_path: Optional[str] = None  # JSONL metrics sink (SURVEY §5.5)
     # VR staleness control: extra cache refreshes inside one epoch
     # (reference: conf.period_updates_in_one_epoch, main.py:54-55)
@@ -139,7 +141,8 @@ class Trainer:
         self.opt_state = self.tx.init(self.params)
         hist_dtype = jnp.bfloat16 if cfg.hist_dtype == "bfloat16" else jnp.float32
         self.hist = model.init_history(dtype=hist_dtype)
-        self.tables = make_tables(data)
+        x_dtype = jnp.bfloat16 if cfg.x_dtype == "bfloat16" else jnp.float32
+        self.tables = make_tables(data, dtype=x_dtype)
         self.out_table = jnp.zeros(
             (data.num_nodes + 1, model.cfg.out_channels), jnp.float32
         )

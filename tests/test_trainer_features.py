@@ -105,3 +105,18 @@ class TestMetricsLog:
         assert "train_epoch" in kinds and "eval" in kinds
         tr = [l for l in lines if l["kind"] == "train_epoch"][0]
         assert "loss" in tr and "drift" in tr and "epoch_s" in tr
+
+
+class TestBF16Tables:
+    def test_bf16_features_and_caches_learn(self, sbm_small):
+        data, in_c, out_c = sbm_small
+        from incagg_gnn_tpu.models import GCN, GCNConfig
+
+        cfg = GCNConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                        hidden_channels=32, out_channels=out_c, num_layers=2,
+                        dropout=0.1, drop_input=False)
+        tcfg = TrainerConfig(num_parts=8, batch_size=2, vr_update=True,
+                             epochs=8, lr=0.01, seed=0,
+                             hist_dtype="bfloat16", x_dtype="bfloat16")
+        res = Trainer(GCN(cfg), data, tcfg).fit()
+        assert res["best_test"] > 0.8, res
