@@ -159,6 +159,7 @@ class ShardedVRTrainer:
         hist_dtype = jnp.bfloat16 if cfg.hist_dtype == "bfloat16" else jnp.float32
         L, D = model.cfg.num_layers, model.hist_dim
         hist_sh = NamedSharding(self.mesh, P(None, self.axis, None))
+        self._hist_sh = hist_sh
         self.hist = HistoryState(
             emb=jax.device_put(jnp.zeros((L, lay.num_rows, D), hist_dtype), hist_sh),
             emb_ag=jax.device_put(jnp.zeros((L, lay.num_rows, D), hist_dtype), hist_sh),
@@ -726,6 +727,29 @@ class ShardedVRTrainer:
             "val_acc": compute_micro_f1(logits, d.y, d.val_mask),
             "test_acc": compute_micro_f1(logits, d.y, d.test_mask),
         }
+
+    # -- checkpoint protocol (CheckpointManager) -----------------------
+    def checkpoint_state(self):
+        """Sharded history stacks are gathered to the host on save and
+        re-sharded onto the mesh on restore (params/opt are replicated)."""
+        return {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "state": self.state,
+            "hist_emb": self.hist.emb,
+            "hist_emb_ag": self.hist.emb_ag,
+            "rng": self.rng,
+        }
+
+    def restore_checkpoint(self, restored):
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        self.state = restored["state"]
+        self.hist = HistoryState(
+            emb=jax.device_put(restored["hist_emb"], self._hist_sh),
+            emb_ag=jax.device_put(restored["hist_emb_ag"], self._hist_sh),
+        )
+        self.rng = restored["rng"]
 
     def fit(self, epochs: Optional[int] = None) -> Dict[str, float]:
         epochs = self.cfg.epochs if epochs is None else epochs

@@ -22,9 +22,19 @@ import jax
 import numpy as np
 
 
+def _to_savable(leaf):
+    a = np.asarray(leaf)
+    # ml_dtypes (bfloat16 etc.) round-trips through npz only if the loader
+    # has the dtype registered; store as f32 (lossless for bf16) instead and
+    # let load_pytree cast back to the reference dtype
+    if a.dtype.kind == "V" or a.dtype.name == "bfloat16":
+        a = a.astype(np.float32)
+    return a
+
+
 def _flatten(tree):
     leaves, treedef = jax.tree.flatten(tree)
-    return [np.asarray(l) for l in leaves], str(treedef)
+    return [_to_savable(l) for l in leaves], str(treedef)
 
 
 def save_pytree(path: str, tree, meta: Optional[dict] = None):
@@ -46,33 +56,41 @@ def load_pytree(path: str, like):
     import jax.numpy as jnp
 
     out = []
-    for got, ref in zip(leaves, ref_leaves):
-        assert got.shape == tuple(ref.shape), (got.shape, ref.shape)
-        out.append(jnp.asarray(got, dtype=ref.dtype))
+    for i, (got, ref) in enumerate(zip(leaves, ref_leaves)):
+        if got.shape != tuple(ref.shape):
+            raise ValueError(
+                f"checkpoint leaf {i} has shape {got.shape} but the trainer "
+                f"expects {tuple(ref.shape)} — was the checkpoint saved with "
+                f"a different architecture/config?"
+            )
+        if isinstance(ref, np.ndarray):
+            # host-resident leaf (e.g. spill tables): stay on the host
+            out.append(got.astype(ref.dtype, copy=False))
+        else:
+            out.append(jnp.asarray(got, dtype=ref.dtype))
     return jax.tree.unflatten(treedef, out)
 
 
 class CheckpointManager:
-    """Saves/restores a Trainer's full state under a directory."""
+    """Saves/restores a trainer's full state under a directory.
+
+    Works with every trainer variant through the two-method protocol
+    ``checkpoint_state() -> pytree`` / ``restore_checkpoint(pytree)``:
+    the single-chip :class:`~incagg_gnn_tpu.train.trainer.Trainer`, the
+    host-offload :class:`~incagg_gnn_tpu.train.spill_trainer.SpillVRTrainer`
+    (host DRAM tables are saved/restored in place), and the multi-chip
+    :class:`~incagg_gnn_tpu.parallel.spatial.ShardedVRTrainer` (sharded
+    arrays are gathered on save and re-sharded onto the mesh on restore).
+    """
 
     def __init__(self, directory: str, keep: int = 2):
         self.dir = directory
         self.keep = keep
         os.makedirs(directory, exist_ok=True)
 
-    def _state_tree(self, trainer):
-        return {
-            "params": trainer.params,
-            "opt_state": trainer.opt_state,
-            "state": trainer.state,
-            "hist_emb": trainer.hist.emb,
-            "hist_emb_ag": trainer.hist.emb_ag,
-            "rng": trainer.rng,
-        }
-
     def save(self, trainer, epoch: int):
         path = os.path.join(self.dir, f"ckpt_{epoch:06d}.npz")
-        save_pytree(path, self._state_tree(trainer), meta={"epoch": epoch})
+        save_pytree(path, trainer.checkpoint_state(), meta={"epoch": epoch})
         self._gc()
 
     def latest(self) -> Optional[str]:
@@ -83,20 +101,39 @@ class CheckpointManager:
         return os.path.join(self.dir, cks[-1]) if cks else None
 
     def maybe_restore(self, trainer) -> bool:
-        path = self.latest()
-        if path is None:
-            return False
-        restored = load_pytree(path, self._state_tree(trainer))
-        trainer.params = restored["params"]
-        trainer.opt_state = restored["opt_state"]
-        trainer.state = restored["state"]
-        from incagg_gnn_tpu.history import HistoryState
+        """Restore the newest readable checkpoint.
 
-        trainer.hist = HistoryState(restored["hist_emb"], restored["hist_emb_ag"])
-        trainer.rng = restored["rng"]
-        with open(path + ".meta.json") as f:
-            trainer.epoch = json.load(f)["epoch"] + 1
-        return True
+        A corrupt file (truncated write, partial copy) is skipped with a
+        warning and the next-newest is tried — the ``keep``>1 retention
+        exists exactly for this.  A *shape* mismatch is not corruption, it
+        is a config mismatch, and older checkpoints would mismatch the same
+        way — that error propagates.
+        """
+        cks = sorted(
+            (f for f in os.listdir(self.dir)
+             if f.startswith("ckpt_") and f.endswith(".npz")),
+            reverse=True,
+        )
+        for name in cks:
+            path = os.path.join(self.dir, name)
+            try:
+                restored = load_pytree(path, trainer.checkpoint_state())
+                with open(path + ".meta.json") as f:
+                    epoch = json.load(f)["epoch"]
+            except ValueError:
+                raise  # architecture/config mismatch — see load_pytree
+            except Exception as e:  # truncated zip, missing meta, bad keys
+                import warnings
+
+                warnings.warn(
+                    f"skipping unreadable checkpoint {path}: "
+                    f"{type(e).__name__}: {e}"
+                )
+                continue
+            trainer.restore_checkpoint(restored)
+            trainer.epoch = epoch + 1
+            return True
+        return False
 
     def _gc(self):
         cks = sorted(

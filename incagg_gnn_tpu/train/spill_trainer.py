@@ -231,6 +231,30 @@ class SpillVRTrainer(Trainer):
 
     fill_history = _refresh
 
+    # ------------------------------------------------------------------
+    # checkpoint protocol: host tables replace the HBM history stacks
+    # ------------------------------------------------------------------
+    def checkpoint_state(self):
+        return {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "state": self.state,
+            "rng": self.rng,
+            "spill_in": [t.table for t in self.spill_in],
+            "spill_ag": [t.table for t in self.spill_ag],
+        }
+
+    def restore_checkpoint(self, restored):
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        self.state = restored["state"]
+        self.rng = restored["rng"]
+        # in-place so any live buffer references stay valid
+        for t, arr in zip(self.spill_in, restored["spill_in"]):
+            t.table[:] = arr
+        for t, arr in zip(self.spill_ag, restored["spill_ag"]):
+            t.table[:] = arr
+
     def evaluate(self) -> Dict[str, float]:
         logits = self._refresh()
         d = self.data

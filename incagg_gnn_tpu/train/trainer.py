@@ -410,6 +410,28 @@ class Trainer:
             model._refresh_fns = saved
         return logits
 
+    # -- checkpoint protocol (CheckpointManager) -----------------------
+    def checkpoint_state(self):
+        """Complete training state: params, optimizer, BN, both history
+        stacks, RNG (reference has none of this — SURVEY §5.4)."""
+        return {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "state": self.state,
+            "hist_emb": self.hist.emb,
+            "hist_emb_ag": self.hist.emb_ag,
+            "rng": self.rng,
+        }
+
+    def restore_checkpoint(self, restored):
+        from incagg_gnn_tpu.history import HistoryState
+
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        self.state = restored["state"]
+        self.hist = HistoryState(restored["hist_emb"], restored["hist_emb_ag"])
+        self.rng = restored["rng"]
+
     def fit(self, epochs: Optional[int] = None) -> Dict[str, float]:
         """Full loop: fill → (train, refresh+eval)×epochs (main.py:226-264)."""
         epochs = self.cfg.epochs if epochs is None else epochs

@@ -122,3 +122,105 @@ class TestCheckpoint:
             cm.save(t, e)
         names = sorted(f for f in os.listdir(tmp_path) if f.endswith(".npz"))
         assert names == ["ckpt_000002.npz", "ckpt_000003.npz"]
+
+
+class TestCheckpointVariants:
+    """Checkpoint protocol on the spill and sharded trainers."""
+
+    def test_spill_trainer_roundtrip(self, sbm_small, tmp_path):
+        from incagg_gnn_tpu.models import GCN, GCNConfig
+        from incagg_gnn_tpu.train.checkpoint import CheckpointManager
+        from incagg_gnn_tpu.train.spill_trainer import SpillVRTrainer
+        from incagg_gnn_tpu.train.trainer import TrainerConfig
+
+        data, in_c, out_c = sbm_small
+        cfg = GCNConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                        hidden_channels=16, out_channels=out_c, num_layers=2,
+                        dropout=0.0, drop_input=False)
+        tcfg = TrainerConfig(num_parts=4, batch_size=2, vr_update=True, seed=0)
+        t1 = SpillVRTrainer(GCN(cfg), data, tcfg)
+        t1.fill_history()
+        t1.train_epoch()
+        cm = CheckpointManager(str(tmp_path))
+        cm.save(t1, epoch=0)
+
+        t2 = SpillVRTrainer(GCN(cfg), data, tcfg)
+        assert cm.maybe_restore(t2)
+        assert t2.epoch == 1
+        for l in range(2):
+            assert np.array_equal(t1.spill_in[l].table, t2.spill_in[l].table)
+            assert np.array_equal(t1.spill_ag[l].table, t2.spill_ag[l].table)
+        assert np.allclose(np.asarray(t1.params["convs"][0]["w"]),
+                           np.asarray(t2.params["convs"][0]["w"]))
+        # restored trainer evaluates identically
+        e1, e2 = t1.evaluate(), t2.evaluate()
+        assert abs(e1["test_acc"] - e2["test_acc"]) < 1e-6
+
+    def test_sharded_trainer_roundtrip(self, sbm_small, tmp_path):
+        import jax
+
+        if len(jax.devices()) < 4:
+            import pytest
+            pytest.skip("needs >=4 virtual devices")
+        from incagg_gnn_tpu.models import GCN, GCNConfig
+        from incagg_gnn_tpu.parallel.mesh import make_mesh
+        from incagg_gnn_tpu.parallel.spatial import ShardedVRTrainer
+        from incagg_gnn_tpu.train.checkpoint import CheckpointManager
+        from incagg_gnn_tpu.train.trainer import TrainerConfig
+
+        data, in_c, out_c = sbm_small
+        cfg = GCNConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                        hidden_channels=16, out_channels=out_c, num_layers=2,
+                        dropout=0.0, drop_input=False)
+        tcfg = TrainerConfig(num_parts=8, batch_size=1, vr_update=True, seed=0)
+        t1 = ShardedVRTrainer(GCN(cfg), data, tcfg, mesh=make_mesh(4))
+        t1.refresh()
+        t1.train_epoch()
+        cm = CheckpointManager(str(tmp_path))
+        cm.save(t1, epoch=3)
+
+        t2 = ShardedVRTrainer(GCN(cfg), data, tcfg, mesh=make_mesh(4))
+        assert cm.maybe_restore(t2)
+        assert t2.epoch == 4
+        assert np.allclose(np.asarray(t1.hist.emb), np.asarray(t2.hist.emb))
+        # restored history keeps its mesh sharding
+        assert t2.hist.emb.sharding.is_equivalent_to(
+            t1.hist.emb.sharding, t1.hist.emb.ndim)
+        e1, e2 = t1.evaluate(), t2.evaluate()
+        assert abs(e1["test_acc"] - e2["test_acc"]) < 1e-6
+
+    def test_corrupt_latest_falls_back(self, sbm_tiny, tmp_path):
+        """A truncated newest checkpoint is skipped (warning) and the older
+        readable one restored; a shape mismatch raises a clear error."""
+        import pytest
+        from incagg_gnn_tpu.models import GCN, GCNConfig
+        from incagg_gnn_tpu.train.checkpoint import CheckpointManager
+        from incagg_gnn_tpu.train.trainer import Trainer, TrainerConfig
+
+        data, in_c, out_c = sbm_tiny
+        cfg = GCNConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                        hidden_channels=8, out_channels=out_c, num_layers=2,
+                        dropout=0.0, drop_input=False)
+        tcfg = TrainerConfig(num_parts=2, batch_size=1, vr_update=True, seed=0)
+        t1 = Trainer(GCN(cfg), data, tcfg)
+        t1.fill_history()
+        cm = CheckpointManager(str(tmp_path))
+        cm.save(t1, epoch=0)
+        # truncated "newer" checkpoint
+        good = tmp_path / "ckpt_000000.npz"
+        (tmp_path / "ckpt_000001.npz").write_bytes(good.read_bytes()[:4096])
+        (tmp_path / "ckpt_000001.npz.meta.json").write_text('{"epoch": 1}')
+
+        t2 = Trainer(GCN(cfg), data, tcfg)
+        with pytest.warns(UserWarning, match="unreadable checkpoint"):
+            assert cm.maybe_restore(t2)
+        assert t2.epoch == 1  # restored epoch-0 ckpt, not the corrupt one
+        assert np.allclose(np.asarray(t1.hist.emb), np.asarray(t2.hist.emb))
+
+        # architecture mismatch is a clear error, not a silent skip
+        cfg64 = GCNConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                          hidden_channels=64, out_channels=out_c, num_layers=2,
+                          dropout=0.0, drop_input=False)
+        t3 = Trainer(GCN(cfg64), data, tcfg)
+        with pytest.raises(ValueError, match="different architecture"):
+            cm.maybe_restore(t3)
