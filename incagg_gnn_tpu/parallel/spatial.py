@@ -586,45 +586,57 @@ class ShardedVRTrainer:
         return jax.jit(smapped, donate_argnums=(0, 1, 2, 3))
 
     def _make_refresh_layer(self, layer: int):
-        """One sharded refresh layer pass.  The source table rows a device
-        needs from other slabs move via the **static halo all_to_all**
-        schedule (HaloPlan) — halo·D traffic over ICI instead of the
-        mesh-wide all_gather's N·D."""
+        """One sharded refresh layer pass over ALL eval rounds, scanned
+        inside the shard_map — one dispatch per layer instead of one per
+        round × layer.  The source table rows a device needs from other
+        slabs move via the **static halo all_to_all** schedule (HaloPlan) —
+        halo·D traffic over ICI instead of the mesh-wide all_gather's N·D.
+        Rounds write disjoint push rows and only read tables written by the
+        *previous* layer, so the scan is exactly the per-round loop."""
         model, axis = self.model, self.axis
         L, D = model.cfg.num_layers, model.hist_dim
 
-        def local_fn(params, state, hist, x_tab, out_tab, batch, halo):
-            batch = jax.tree.map(lambda a: a[0] if a.ndim > 0 else a, batch)
-            halo = jax.tree.map(lambda a: a[0], halo)
-            emb, emb_ag = hist.emb, hist.emb_ag  # local slabs [L, slab, D]
-            r_pad = batch.adj.num_rows
-            exchange = _make_exchange(halo, axis)
+        def local_fn(params, state, hist, x_tab, out_tab, batches, halos):
+            batches = jax.tree.map(lambda a: a[0], batches)  # [R, ...] local
+            halos = jax.tree.map(lambda a: a[0], halos)
 
-            if layer == 0:
-                x_in = exchange(x_tab)
-                m0 = model.layer0_cache_input(params, x_in)
-                emb = emb.at[0, batch.push_idx].set(
-                    pad_cols(m0[:r_pad], D).astype(emb.dtype))
-                ag0 = model.vr_aggregate(batch.adj, m0)
-                emb_ag = emb_ag.at[0, batch.push_idx].set(
-                    pad_cols(ag0, D).astype(emb_ag.dtype))
-            else:
-                dim = model.layer_input_dim(layer)
-                x_in = exchange(emb[layer])[:, :dim].astype(jnp.float32)
-                ag = model.vr_aggregate(batch.adj, x_in)
-                emb_ag = emb_ag.at[layer, batch.push_idx].set(
-                    pad_cols(ag, D).astype(emb_ag.dtype))
-            x0_ib = None
-            if model.needs_x0 and layer > 0:
-                x0_ib = jnp.take(emb[0], batch.push_idx, axis=0)[
-                    :, : model.x0_dim].astype(jnp.float32)
-            out = model.forward_layer(params, state, layer, x_in, x0_ib, batch.adj)
-            if layer < L - 1:
-                emb = emb.at[layer + 1, batch.push_idx].set(
-                    pad_cols(out[:r_pad], D).astype(emb.dtype))
-            else:
-                out_tab = out_tab.at[batch.push_idx].set(out[:r_pad])
-            return HistoryState(emb, emb_ag), out_tab
+            def body(carry, bh):
+                hist, out_tab = carry
+                batch, halo = bh
+                emb, emb_ag = hist.emb, hist.emb_ag  # local slabs [L, slab, D]
+                r_pad = batch.adj.num_rows
+                exchange = _make_exchange(halo, axis)
+
+                if layer == 0:
+                    x_in = exchange(x_tab)
+                    m0 = model.layer0_cache_input(params, x_in)
+                    emb = emb.at[0, batch.push_idx].set(
+                        pad_cols(m0[:r_pad], D).astype(emb.dtype))
+                    ag0 = model.vr_aggregate(batch.adj, m0)
+                    emb_ag = emb_ag.at[0, batch.push_idx].set(
+                        pad_cols(ag0, D).astype(emb_ag.dtype))
+                else:
+                    dim = model.layer_input_dim(layer)
+                    x_in = exchange(emb[layer])[:, :dim].astype(jnp.float32)
+                    ag = model.vr_aggregate(batch.adj, x_in)
+                    emb_ag = emb_ag.at[layer, batch.push_idx].set(
+                        pad_cols(ag, D).astype(emb_ag.dtype))
+                x0_ib = None
+                if model.needs_x0 and layer > 0:
+                    x0_ib = jnp.take(emb[0], batch.push_idx, axis=0)[
+                        :, : model.x0_dim].astype(jnp.float32)
+                out = model.forward_layer(params, state, layer, x_in, x0_ib,
+                                          batch.adj)
+                if layer < L - 1:
+                    emb = emb.at[layer + 1, batch.push_idx].set(
+                        pad_cols(out[:r_pad], D).astype(emb.dtype))
+                else:
+                    out_tab = out_tab.at[batch.push_idx].set(out[:r_pad])
+                return (HistoryState(emb, emb_ag), out_tab), None
+
+            (hist, out_tab), _ = jax.lax.scan(
+                body, (hist, out_tab), (batches, halos))
+            return hist, out_tab
 
         P_ = P
         rep = P_()
@@ -639,16 +651,32 @@ class ShardedVRTrainer:
         )
         return jax.jit(smapped, donate_argnums=(2, 4))
 
+    def _stack_eval_rounds(self):
+        """Stack the per-round eval batches/halo plans along a new round
+        axis (leaves [n_dev, R, ...]) so the refresh scan consumes them."""
+        sh = NamedSharding(self.mesh, P(self.axis))
+        self._eval_rounds_stacked = jax.device_put(
+            jax.tree.map(lambda *xs: jnp.stack(xs, axis=1),
+                         *self._eval_stacks),
+            jax.tree.map(lambda _: sh, self._eval_stacks[0]),
+        )
+        self._halo_plans_stacked = jax.device_put(
+            jax.tree.map(lambda *xs: jnp.stack(xs, axis=1),
+                         *self._halo_plans),
+            jax.tree.map(lambda _: sh, self._halo_plans[0]),
+        )
+
     # ------------------------------------------------------------------
     def refresh(self) -> np.ndarray:
+        if getattr(self, "_eval_rounds_stacked", None) is None:
+            self._stack_eval_rounds()
         for layer in range(self.model.cfg.num_layers):
             if layer not in self._refresh_fns:
                 self._refresh_fns[layer] = self._make_refresh_layer(layer)
-            fn = self._refresh_fns[layer]
-            for stack, halo in zip(self._eval_stacks, self._halo_plans):
-                self.hist, self.out_tab = fn(
-                    self.params, self.state, self.hist, self.x_tab,
-                    self.out_tab, stack, halo)
+            self.hist, self.out_tab = self._refresh_fns[layer](
+                self.params, self.state, self.hist, self.x_tab,
+                self.out_tab, self._eval_rounds_stacked,
+                self._halo_plans_stacked)
         out_rows = np.asarray(self.out_tab)
         valid = self.layout.row_to_node >= 0
         logits = np.zeros((self.data.num_nodes, out_rows.shape[1]), np.float32)
