@@ -183,19 +183,25 @@ class SpillVRTrainer(Trainer):
         batches = list(self.eval_loader)
         for layer in range(L):
             fn = self._layer_jit(layer)
-            for hb in batches:
+            # pipelined pulls: issue batch i+1's host gather before waiting
+            # on batch i's, so the C++ worker overlaps the device round trip
+            # (pool_size >= 2 slots; FIFO discipline as in pool.py:64-99)
+            if layer > 0:
+                pull_idx = [np.minimum(hb.n_id, n) for hb in batches]
+                self.spill_in[layer].async_pull(pull_idx[0])
+            for i, hb in enumerate(batches):
                 bs = hb.batch_size
                 if layer == 0:
                     x_in = jnp.take(self.tables.x, hb.device.n_id, axis=0)
                 else:
-                    idx = np.minimum(hb.n_id, n)  # all real rows
-                    self.spill_in[layer].async_pull(idx)
+                    if i + 1 < len(batches):
+                        self.spill_in[layer].async_pull(pull_idx[i + 1])
                     x_rows = np.asarray(self.spill_in[layer].synchronize_pull())
                     self.spill_in[layer].free_pull()
                     dim = model.layer_input_dim(layer)
                     c_pad = int(np.asarray(hb.device.n_id).shape[0])
                     xb = np.zeros((c_pad, dim), np.float32)
-                    xb[: len(idx)] = x_rows[:, :dim]
+                    xb[: len(pull_idx[i])] = x_rows[:, :dim]
                     x_in = jnp.asarray(xb)
                 x0_ib = None
                 if model.needs_x0 and layer > 0:
