@@ -71,14 +71,39 @@ class HybridAdj(NamedTuple):
         )
 
 
-def choose_k(degrees: np.ndarray, quantile: float = 0.98, align: int = 8) -> int:
-    """ELL width: a high degree quantile, aligned; bounds padding waste while
-    keeping the COO overflow small."""
+def choose_k(degrees: np.ndarray, quantile: float = 0.98, align: int = 8,
+             coo_cost_ratio: float = 3.0) -> int:
+    """ELL width minimizing the measured hybrid cost model.
+
+    Every row pays ``k`` ELL slots (gather + reduce) whether real or padded;
+    edges beyond ``k`` fall to the COO overflow whose per-edge cost is
+    ~``coo_cost_ratio``x an ELL slot (v5e measurement, docs/RESULTS.md: ELL
+    ~5.7 ns/slot vs sorted COO segment-sum ~17 ns/edge).  The old
+    high-quantile heuristic over-padded: at avg degree ~15 it picked k=24
+    (109M edges/s) where the cost-model optimum k=16 measures 126M (+16%).
+    ``align=8`` is mandatory for performance, not just neatness — unaligned
+    K collapses throughput (measured k18 < k8).  ``quantile`` caps the
+    search (compat; rarely binds)."""
     if degrees.size == 0:
         return align
-    k = int(np.quantile(degrees[degrees > 0], quantile)) if (degrees > 0).any() else 1
-    k = max(k, 1)
-    return ((k + align - 1) // align) * align
+    # single pass: everything (quantile, overflow curve) from the histogram
+    hist = np.bincount(degrees)
+    nz = int(degrees.size - hist[0])
+    if nz == 0:
+        return align
+    cum_pos = np.cumsum(hist[1:])  # positive-degree rows with deg <= j+1
+    qv = int(np.searchsorted(cum_pos, quantile * nz) + 1)
+    dmax = len(hist) - 1
+    kmax = min(qv * 4 + align, dmax)
+    kmax = ((kmax + align - 1) // align) * align
+    hist = np.concatenate([hist, np.zeros(max(0, kmax + 2 - len(hist)), hist.dtype)])
+    # ovf(k) = Σ_d max(d-k,0)·hist[d] = Σ_{j>=k} #{deg > j}, via suffix sums
+    gt = nz - np.cumsum(hist[1:])  # gt[j] = #rows with degree > j+1
+    gt = np.concatenate([[nz], gt])  # now gt[j] = #rows with degree > j
+    ovf = np.concatenate([np.cumsum(gt[::-1])[::-1], [0]])
+    cands = np.arange(align, kmax + 1, align, dtype=np.int64)
+    cost = degrees.size * cands + coo_cost_ratio * ovf[cands]
+    return int(cands[int(np.argmin(cost))])
 
 
 def build_hybrid_adj(
