@@ -130,10 +130,7 @@ class APPNP(ScalableGNN):
             x_ib = x[:r_pad]
             m_in, m_ag = self.vr_pull(hist, l, batch, x_ib.shape[1])
             d = x_ib - m_in
-            drift += (
-                jnp.abs(d).sum() if drift_norm == 1
-                else jnp.sqrt((d * d).sum(-1) + 1e-12).sum()
-            ) / jnp.maximum(batch.batch_size, 1)
+            drift += self.drift_term(d, batch, drift_norm)
             x_vr = spmm(adj, pad_rows(d, c_pad)) + m_ag
             x = (1 - c.alpha) * x_vr + c.alpha * x0
         aux = {"drift": drift / c.num_layers}

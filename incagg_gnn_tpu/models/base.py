@@ -174,7 +174,10 @@ class ScalableGNN:
         x: [C_pad, D]``; the updated stacked emb is returned for threading."""
         d = h.shape[1]
         c_pad = batch.n_id.shape[0]
-        pushed = jax.lax.stop_gradient(pad_cols(h, self.hist_dim))
+        valid = (jnp.arange(h.shape[0]) < batch.batch_size)[:, None]
+        pushed = jax.lax.stop_gradient(
+            jnp.where(valid, pad_cols(h, self.hist_dim), 0.0)
+        )
         hist_emb = hist_emb.at[slot, batch.push_idx].set(
             pushed.astype(hist_emb.dtype)
         )
@@ -211,6 +214,20 @@ class ScalableGNN:
             jax.lax.stop_gradient(m_ag.astype(jnp.float32)),
         )
 
+    def drift_term(self, d: jnp.ndarray, batch: SubgraphBatch,
+                   drift_norm: int = 2) -> jnp.ndarray:
+        """Per-layer embedding-drift metric ``Σ_ib ||x − M_in|| / |IB|``
+        (reference per-model drift accumulators, e.g. gcn.py:72-75), masked to
+        valid IB rows — padded rows carry arbitrary activations (layer biases)
+        and must not count."""
+        valid = (jnp.arange(d.shape[0]) < batch.batch_size)[:, None]
+        d = jnp.where(valid, d, 0.0)
+        num = (
+            jnp.abs(d).sum() if drift_norm == 1
+            else jnp.sqrt((d * d).sum(-1) + 1e-12).sum()
+        )
+        return num / jnp.maximum(batch.batch_size, 1)
+
     def vr_aggregate(self, adj: PaddedAdj, x: jnp.ndarray) -> jnp.ndarray:
         """The aggregation used for both the VR correction term and the M_ag
         refresh: weighted-sum for normalized adjacencies, binary mean for
@@ -218,6 +235,19 @@ class ScalableGNN:
         if self.vr_reduce == "sum":
             return spmm(adj, x)
         return spmm_reduce(adj.binarized(), x, self.vr_reduce)
+
+    #: True when vr_cache_value is the plain neighborhood aggregation —
+    #: lets the refresh reuse the cached value as forward_layer's pre_agg
+    vr_cache_is_agg = True
+
+    def vr_cache_value(self, params: Params, layer: int, adj: PaddedAdj,
+                       x: jnp.ndarray) -> jnp.ndarray:
+        """The value written into ``emb_ag[layer]`` by the VR refresh
+        (default: ``M_ag = aggregate(A_full, x)``).  Models with composite VR
+        caches override this — PNA true-VR packs one full-neighborhood
+        aggregate per linear (aggregator, scaler) branch plus the full degree
+        — and set ``vr_cache_is_agg = False``."""
+        return self.vr_aggregate(adj, x)
 
     # ---------------- layer-wise refresh (mini_inference[_vr]) ----------------
     def _refresh_batch_step(self, layer: int, vr: bool, use_aggregation: bool):
@@ -229,6 +259,10 @@ class ScalableGNN:
         def fn(params, state, hist: HistoryState, x_table, out_table, batch: SubgraphBatch):
             adj = batch.adj
             r_pad = adj.num_rows
+            # padded rows scatter into the trash row N; zero them so the trash
+            # row stays zero (models with biases / degree scalers otherwise
+            # push garbage there, which pad pulls would read back)
+            valid = (jnp.arange(r_pad) < batch.batch_size)[:, None]
             emb, emb_ag = hist.emb, hist.emb_ag
             pre_agg = None  # VR refresh reuses the M_ag aggregation in the
             # layer forward (they are the same A @ x; halves refresh cost)
@@ -237,25 +271,25 @@ class ScalableGNN:
                 if vr or self.needs_x0:
                     m0 = self.layer0_cache_input(params, x_in)
                     emb = emb.at[0, batch.push_idx].set(
-                        pad_cols(m0[:r_pad], D).astype(emb.dtype)
+                        jnp.where(valid, pad_cols(m0[:r_pad], D), 0.0).astype(emb.dtype)
                     )
                     if vr:
-                        ag0 = self.vr_aggregate(adj, m0)
+                        ag0 = self.vr_cache_value(params, 0, adj, m0)
                         emb_ag = emb_ag.at[0, batch.push_idx].set(
-                            pad_cols(ag0, D).astype(emb_ag.dtype)
+                            jnp.where(valid, pad_cols(ag0, D), 0.0).astype(emb_ag.dtype)
                         )
-                        pre_agg = ag0
+                        pre_agg = ag0 if self.vr_cache_is_agg else None
             else:
                 dim = self.layer_input_dim(layer)
                 x_in = jnp.take(emb[layer], batch.n_id, axis=0)[:, :dim].astype(
                     jnp.float32
                 )
                 if vr:
-                    ag = self.vr_aggregate(adj, x_in)
+                    ag = self.vr_cache_value(params, layer, adj, x_in)
                     emb_ag = emb_ag.at[layer, batch.push_idx].set(
-                        pad_cols(ag, D).astype(emb_ag.dtype)
+                        jnp.where(valid, pad_cols(ag, D), 0.0).astype(emb_ag.dtype)
                     )
-                    pre_agg = ag
+                    pre_agg = ag if self.vr_cache_is_agg else None
             x0_ib = None
             if self.needs_x0 and layer > 0:
                 # layer 0 computes x0 inline in forward_layer; later layers
@@ -269,10 +303,12 @@ class ScalableGNN:
             )
             if layer < L - 1:
                 emb = emb.at[layer + 1, batch.push_idx].set(
-                    pad_cols(out[:r_pad], D).astype(emb.dtype)
+                    jnp.where(valid, pad_cols(out[:r_pad], D), 0.0).astype(emb.dtype)
                 )
             else:
-                out_table = out_table.at[batch.push_idx].set(out[:r_pad])
+                out_table = out_table.at[batch.push_idx].set(
+                    jnp.where(valid, out[:r_pad], 0.0)
+                )
             return HistoryState(emb, emb_ag), out_table
 
         return fn

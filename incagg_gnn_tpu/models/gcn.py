@@ -223,9 +223,7 @@ class GCN(ScalableGNN):
             x_ib = x[:r_pad]
             m_in, m_ag = self.vr_pull(hist, l, batch, x_ib.shape[1])
             d = x_ib - m_in
-            drift += (
-                jnp.abs(d).sum() if drift_norm == 1 else jnp.sqrt((d * d).sum(-1) + 1e-12).sum()
-            ) / jnp.maximum(batch.batch_size, 1)
+            drift += self.drift_term(d, batch, drift_norm)
             h = gcn_conv_vr(params["convs"][l], adj, x_ib, m_in, m_ag, c_pad)
             if l < c.num_layers - 1 or c.linear:
                 h, new_bns[l] = self._post_conv(params, state, l, h, x_ib, valid, training)

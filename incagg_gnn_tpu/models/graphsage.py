@@ -202,10 +202,7 @@ class GraphSAGE(ScalableGNN):
             x_ib = x[:r_pad]
             m_in, m_ag = self.vr_pull(hist, l, batch, x_ib.shape[1])
             d = x_ib - m_in
-            drift += (
-                jnp.abs(d).sum() if drift_norm == 1
-                else jnp.sqrt((d * d).sum(-1) + 1e-12).sum()
-            ) / jnp.maximum(batch.batch_size, 1)
+            drift += self.drift_term(d, batch, drift_norm)
             agg = spmm_mean(bin_adj, pad_rows(d, c_pad)) + m_ag
             h = linear(params["convs"][l]["lin_l"], agg)
             h = h + linear(params["convs"][l]["lin_r"], x_ib)

@@ -605,22 +605,23 @@ class ShardedVRTrainer:
                 batch, halo = bh
                 emb, emb_ag = hist.emb, hist.emb_ag  # local slabs [L, slab, D]
                 r_pad = batch.adj.num_rows
+                valid = (jnp.arange(r_pad) < batch.batch_size)[:, None]
                 exchange = _make_exchange(halo, axis)
 
                 if layer == 0:
                     x_in = exchange(x_tab)
                     m0 = model.layer0_cache_input(params, x_in)
                     emb = emb.at[0, batch.push_idx].set(
-                        pad_cols(m0[:r_pad], D).astype(emb.dtype))
-                    ag0 = model.vr_aggregate(batch.adj, m0)
+                        jnp.where(valid, pad_cols(m0[:r_pad], D), 0.0).astype(emb.dtype))
+                    ag0 = model.vr_cache_value(params, 0, batch.adj, m0)
                     emb_ag = emb_ag.at[0, batch.push_idx].set(
-                        pad_cols(ag0, D).astype(emb_ag.dtype))
+                        jnp.where(valid, pad_cols(ag0, D), 0.0).astype(emb_ag.dtype))
                 else:
                     dim = model.layer_input_dim(layer)
                     x_in = exchange(emb[layer])[:, :dim].astype(jnp.float32)
-                    ag = model.vr_aggregate(batch.adj, x_in)
+                    ag = model.vr_cache_value(params, layer, batch.adj, x_in)
                     emb_ag = emb_ag.at[layer, batch.push_idx].set(
-                        pad_cols(ag, D).astype(emb_ag.dtype))
+                        jnp.where(valid, pad_cols(ag, D), 0.0).astype(emb_ag.dtype))
                 x0_ib = None
                 if model.needs_x0 and layer > 0:
                     x0_ib = jnp.take(emb[0], batch.push_idx, axis=0)[
@@ -629,9 +630,10 @@ class ShardedVRTrainer:
                                           batch.adj)
                 if layer < L - 1:
                     emb = emb.at[layer + 1, batch.push_idx].set(
-                        pad_cols(out[:r_pad], D).astype(emb.dtype))
+                        jnp.where(valid, pad_cols(out[:r_pad], D), 0.0).astype(emb.dtype))
                 else:
-                    out_tab = out_tab.at[batch.push_idx].set(out[:r_pad])
+                    out_tab = out_tab.at[batch.push_idx].set(
+                        jnp.where(valid, out[:r_pad], 0.0))
                 return (HistoryState(emb, emb_ag), out_tab), None
 
             (hist, out_tab), _ = jax.lax.scan(

@@ -159,10 +159,11 @@ class SpillVRTrainer(Trainer):
             if layer == 0:
                 m0 = model.layer0_cache_input(params, x_in)
                 outs["m_in"] = pad_cols(m0[:r_pad], D)
-                outs["m_ag"] = pad_cols(model.vr_aggregate(batch.adj, m0), D)
+                outs["m_ag"] = pad_cols(
+                    model.vr_cache_value(params, 0, batch.adj, m0), D)
             else:
                 outs["m_ag"] = pad_cols(
-                    model.vr_aggregate(batch.adj, x_in), D)
+                    model.vr_cache_value(params, layer, batch.adj, x_in), D)
             out = model.forward_layer(params, state, layer, x_in, x0_ib,
                                       batch.adj, True)
             outs["out"] = out[:r_pad]

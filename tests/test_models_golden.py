@@ -7,6 +7,7 @@ GraphSAGE) additionally satisfy the fresh-cache identity
 homophilous SBM in both GAS and VR modes.
 """
 
+import dataclasses
 import math
 
 import jax.numpy as jnp
@@ -242,6 +243,54 @@ class TestPNA:
         ab = dense_adj(tr.data.adj_t, binary=True)
         expected = dense_pna(tr.params, tr.model.cfg, ab, tr.data.x)
         assert np.allclose(logits, expected, atol=3e-3, rtol=1e-3)
+
+    def _true_vr_cfg(self, data, in_c, out_c, aggregators):
+        lin_d, log_d = compute_avg_deg(data.adj_t.degrees() + 1)
+        return PNAConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                         hidden_channels=16, out_channels=out_c, num_layers=2,
+                         dropout=0.0, drop_input=False, true_vr=True,
+                         aggregators=aggregators,
+                         scalers=("identity", "amplification", "attenuation"),
+                         avg_deg_lin=lin_d, avg_deg_log=log_d)
+
+    def test_true_vr_fresh_exact_multi_part(self, sbm_tiny):
+        """The capability the reference stubbed out (pna.py:235,270): with
+        linear aggregators, PNA true-VR on a fresh cache reproduces the
+        full-graph forward exactly from an IB-only batch — where the mock
+        (IB-fresh propagation) provably cannot (the batch misses OB edges)."""
+        data, in_c, out_c = sbm_tiny
+        cfg = self._true_vr_cfg(data, in_c, out_c, ("sum", "mean"))
+        tr = make_trainer(PNA, cfg, data, vr=True, num_parts=4)
+        tr.fill_history()
+        ab = dense_adj(tr.data.adj_t, binary=True)
+        expected = dense_pna(tr.params, tr.model.cfg, ab, tr.data.x)
+        hb = next(iter(tr.train_loader))
+        x = jnp.take(tr.tables.x, hb.device.n_id, axis=0)
+        out, _, m = tr.model.forward_vr(tr.params, tr.state, x, hb.device,
+                                        tr.hist, None, training=False)
+        bs = hb.batch_size
+        got = np.asarray(out[:bs])
+        want = expected[hb.n_id[:bs]]
+        assert np.allclose(got, want, atol=3e-3, rtol=1e-3)
+        assert float(m["drift"]) < 1e-3
+        # the mock deviates on the same batch (OB neighbors are invisible)
+        mock_cfg = dataclasses.replace(cfg, true_vr=False)
+        mock_out, _, _ = PNA(mock_cfg).forward_vr(
+            tr.params, tr.state, x, hb.device, tr.hist, None, training=False)
+        assert np.abs(np.asarray(mock_out[:bs]) - want).max() > 1e-2
+
+    def test_true_vr_training_learns(self, sbm_small):
+        data, in_c, out_c = sbm_small
+        lin_d, log_d = compute_avg_deg(data.adj_t.degrees() + 1)
+        cfg = PNAConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                        hidden_channels=32, out_channels=out_c, num_layers=2,
+                        dropout=0.1, drop_input=False, true_vr=True,
+                        aggregators=("mean", "max"), scalers=("identity",),
+                        avg_deg_lin=lin_d, avg_deg_log=log_d)
+        tcfg = TrainerConfig(num_parts=8, batch_size=2, vr_update=True,
+                             epochs=6, lr=0.01, seed=0)
+        res = Trainer(PNA(cfg), data, tcfg).fit()
+        assert res["best_test"] > 0.75, res["best_test"]
 
 
 class TestTraining:
