@@ -51,6 +51,110 @@ def build_shard_layout(ptr: np.ndarray, n_dev: int, align: int = 8) -> ShardLayo
         d = int(load.argmin())
         dev_of_cluster[c] = d
         load[d] += sizes[c]
+    return _layout_from_assignment(ptr, dev_of_cluster, n_dev, align)
+
+
+def cluster_affinity(rowptr: np.ndarray, col: np.ndarray,
+                     ptr: np.ndarray) -> np.ndarray:
+    """Symmetric [K, K] inter-cluster edge-count matrix (diagonal zeroed) —
+    the coarsened cluster graph used for hierarchy-aware placement."""
+    ptr = np.asarray(ptr, dtype=np.int64)
+    k = len(ptr) - 1
+    deg = np.diff(np.asarray(rowptr, dtype=np.int64))
+    c_of = np.repeat(np.arange(k), np.diff(ptr))  # node -> cluster
+    rows_c = np.repeat(c_of, deg)
+    cols_c = c_of[np.asarray(col, dtype=np.int64)]
+    w = np.zeros(k * k, dtype=np.int64)
+    np.add.at(w, rows_c * k + cols_c, 1)
+    w = w.reshape(k, k)
+    w = w + w.T
+    np.fill_diagonal(w, 0)
+    return w
+
+
+def build_shard_layout_hierarchical(
+    ptr: np.ndarray,
+    rowptr: np.ndarray,
+    col: np.ndarray,
+    n_hosts: int,
+    chips_per_host: int,
+    align: int = 8,
+    balance_slack: float = 0.05,
+) -> ShardLayout:
+    """Two-level cluster placement for a (hosts × chips) mesh: clusters are
+    first grouped onto *hosts* by greedy max-affinity growing over the
+    coarsened cluster graph (minimizing cross-host halo edges, which ride the
+    slow DCN), then size-bin-packed onto each host's chips (intra-host halo
+    rides ICI, so only load balance matters there).  Device index =
+    ``host * chips_per_host + chip`` — host-major, matching the flattened
+    order of a 2-D ``Mesh(devices.reshape(hosts, chips), ("host", "chip"))``
+    and the lexicographic device order of tuple-axis collectives.
+
+    The single-level packer treats all device pairs as equidistant; on real
+    pods DCN bandwidth per host is ~10x below ICI, so cross-host halo bytes
+    are the scaling limiter (SURVEY §7 step 9)."""
+    ptr = np.asarray(ptr, dtype=np.int64)
+    sizes = np.diff(ptr)
+    k = len(sizes)
+    n_dev = n_hosts * chips_per_host
+    w = cluster_affinity(rowptr, col, ptr)
+
+    # ---- level 1: clusters -> hosts (affinity-greedy with balance cap) ----
+    cap = int(np.ceil(sizes.sum() / n_hosts * (1.0 + balance_slack)))
+    host_of = np.full(k, -1, dtype=np.int64)
+    load = np.zeros(n_hosts, dtype=np.int64)
+    # affinity[c, h] = edges between cluster c and host h's current set
+    aff = np.zeros((k, n_hosts), dtype=np.int64)
+    order = np.argsort(-sizes, kind="stable")
+    for c in order:
+        open_h = np.nonzero(load + sizes[c] <= cap)[0]
+        if len(open_h) == 0:
+            open_h = np.array([int(load.argmin())])
+        # prefer the open host with max affinity; tie-break on least load
+        a = aff[c, open_h]
+        best = open_h[np.lexsort((load[open_h], -a))][0]
+        host_of[c] = best
+        load[best] += sizes[c]
+        aff[:, best] += w[:, c]
+
+    # ---- level 2: within each host, size-pack onto chips ----
+    dev_of_cluster = np.zeros(k, dtype=np.int64)
+    for h in range(n_hosts):
+        mine = np.nonzero(host_of == h)[0]
+        cload = np.zeros(chips_per_host, dtype=np.int64)
+        for c in mine[np.argsort(-sizes[mine], kind="stable")]:
+            d = int(cload.argmin())
+            dev_of_cluster[c] = h * chips_per_host + d
+            cload[d] += sizes[c]
+    return _layout_from_assignment(ptr, dev_of_cluster, n_dev, align)
+
+
+def edge_locality(layout: ShardLayout, rowptr: np.ndarray, col: np.ndarray,
+                  ptr: np.ndarray, chips_per_host: int) -> dict:
+    """Fraction of graph edges that are intra-device / intra-host (ICI) /
+    cross-host (DCN) under a layout — the halo-traffic diagnostic."""
+    ptr = np.asarray(ptr, dtype=np.int64)
+    k = len(ptr) - 1
+    c_of = np.repeat(np.arange(k), np.diff(ptr))
+    deg = np.diff(np.asarray(rowptr, dtype=np.int64))
+    d_src = layout.dev_of_cluster[np.repeat(c_of, deg)]
+    d_dst = layout.dev_of_cluster[c_of[np.asarray(col, dtype=np.int64)]]
+    e = len(d_src)
+    same_dev = (d_src == d_dst).sum()
+    same_host = (d_src // chips_per_host == d_dst // chips_per_host).sum()
+    return {
+        "intra_device": same_dev / e,
+        "intra_host": (same_host - same_dev) / e,
+        "cross_host": (e - same_host) / e,
+    }
+
+
+def _layout_from_assignment(ptr: np.ndarray, dev_of_cluster: np.ndarray,
+                            n_dev: int, align: int) -> ShardLayout:
+    sizes = np.diff(ptr)
+    k = len(sizes)
+    load = np.zeros(n_dev, dtype=np.int64)
+    np.add.at(load, dev_of_cluster, sizes)
     slab = int(load.max()) + 1  # +1 trash row
     slab = ((slab + align - 1) // align) * align
 

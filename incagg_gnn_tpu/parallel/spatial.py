@@ -43,7 +43,11 @@ from incagg_gnn_tpu.loader import SubgraphBatch
 from incagg_gnn_tpu.models.base import ScalableGNN
 from incagg_gnn_tpu.models.nn import pad_cols
 from incagg_gnn_tpu.ops.spmm import build_padded_adj
-from incagg_gnn_tpu.parallel.layout import build_shard_layout, scatter_table
+from incagg_gnn_tpu.parallel.layout import (
+    build_shard_layout,
+    build_shard_layout_hierarchical,
+    scatter_table,
+)
 from incagg_gnn_tpu.parallel.mesh import make_mesh
 from incagg_gnn_tpu.train.optim import make_optimizer
 from incagg_gnn_tpu.train.steps import masked_loss
@@ -119,7 +123,18 @@ class ShardedVRTrainer:
         self.cfg = cfg
         self.mesh = mesh if mesh is not None else make_mesh(n_devices)
         self.n_dev = self.mesh.devices.size
-        self.axis = self.mesh.axis_names[0]
+        # 2-D (hosts × chips) meshes: every node-axis sharding and collective
+        # names the axis *tuple* — tuple-axis psum/all_to_all use host-major
+        # device order, matching the hierarchical layout's dev numbering
+        self.axis = (
+            self.mesh.axis_names[0]
+            if len(self.mesh.axis_names) == 1
+            else tuple(self.mesh.axis_names)
+        )
+        self.chips_per_host = (
+            int(self.mesh.devices.shape[1])
+            if self.mesh.devices.ndim == 2 else self.n_dev
+        )
         # hybrid ELL is the fast default; "coo" forced when edge dropout is on
         self.adj_format = (
             "coo" if (cfg.adj_format == "coo" or cfg.edge_dropout > 0.0)
@@ -138,7 +153,13 @@ class ShardedVRTrainer:
         self.multilabel = data.multilabel
 
         # ---- slab layout ----
-        self.layout = build_shard_layout(ptr, self.n_dev)
+        if self.mesh.devices.ndim == 2 and self.mesh.devices.shape[0] > 1:
+            # hierarchy-aware placement: minimize cross-host (DCN) halo edges
+            self.layout = build_shard_layout_hierarchical(
+                ptr, data.adj_t.rowptr, data.adj_t.col,
+                int(self.mesh.devices.shape[0]), self.chips_per_host)
+        else:
+            self.layout = build_shard_layout(ptr, self.n_dev)
         lay = self.layout
 
         # ---- sharded tables ----

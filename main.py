@@ -47,6 +47,11 @@ def main(argv=None):
     ap.add_argument("--root", default="/tmp/datasets")
     ap.add_argument("--n-devices", type=int, default=0,
                     help="shard over N devices (VR mode only); 0 = single chip")
+    ap.add_argument("--n-hosts", type=int, default=1,
+                    help="with --n-devices: use a (hosts x chips) 2-D mesh "
+                         "with hierarchy-aware cluster placement (cross-host "
+                         "halo minimized); on real pods call "
+                         "parallel.mesh.init_distributed() per process first")
     ap.add_argument("--runs", type=int, default=1,
                     help="repeat with seeds seed..seed+runs-1, report mean±std "
                          "(the reference README's accuracy-table protocol)")
@@ -98,7 +103,13 @@ def _run_once(args, run_cfg, data, in_c, out_c):
     if args.n_devices > 1:
         from incagg_gnn_tpu.parallel.spatial import ShardedVRTrainer
 
-        trainer = ShardedVRTrainer(model, data, run_cfg.trainer,
+        mesh = None
+        if getattr(args, "n_hosts", 1) > 1:
+            from incagg_gnn_tpu.parallel.mesh import make_mesh_2d
+
+            assert args.n_devices % args.n_hosts == 0, (args.n_devices, args.n_hosts)
+            mesh = make_mesh_2d(args.n_hosts, args.n_devices // args.n_hosts)
+        trainer = ShardedVRTrainer(model, data, run_cfg.trainer, mesh=mesh,
                                    n_devices=args.n_devices, log=True)
     else:
         trainer = Trainer(model, data, run_cfg.trainer, log=True)

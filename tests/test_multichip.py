@@ -7,8 +7,13 @@ import numpy as np
 import pytest
 
 from incagg_gnn_tpu.models import GCN, GCNConfig, GraphSAGE, SAGEConfig
-from incagg_gnn_tpu.parallel.layout import build_shard_layout, scatter_table
-from incagg_gnn_tpu.parallel.mesh import make_mesh
+from incagg_gnn_tpu.parallel.layout import (
+    build_shard_layout,
+    build_shard_layout_hierarchical,
+    edge_locality,
+    scatter_table,
+)
+from incagg_gnn_tpu.parallel.mesh import make_mesh, make_mesh_2d
 from incagg_gnn_tpu.parallel.spatial import ShardedVRTrainer
 from incagg_gnn_tpu.train.trainer import Trainer, TrainerConfig
 
@@ -82,6 +87,89 @@ class TestShardedVR:
         tr.refresh()
         m = tr.train_epoch()
         assert np.isfinite(m["loss"])
+
+
+class TestHierarchicalLayout:
+    def test_prefers_intra_host_placement(self):
+        """Affinity-greedy host grouping puts connected clusters on the same
+        host: on a cluster ring, cross-host edges drop to the 2 cut edges."""
+        ptr = np.arange(0, 81, 10)
+        n = 80
+        rowptr = np.arange(n + 1)
+        col = ((np.arange(n) + 1) % n).astype(np.int32)
+        hier = build_shard_layout_hierarchical(ptr, rowptr, col, 2, 2)
+        naive = build_shard_layout(ptr, 4)
+        loc_h = edge_locality(hier, rowptr, col, ptr, 2)
+        loc_n = edge_locality(naive, rowptr, col, ptr, 2)
+        assert loc_h["cross_host"] <= loc_n["cross_host"]
+        assert loc_h["cross_host"] == pytest.approx(2 / 80)
+        # balance: both hosts own 4 clusters
+        hosts = hier.dev_of_cluster // 2
+        assert sorted(np.bincount(hosts).tolist()) == [4, 4]
+        # roundtrip integrity
+        valid = hier.row_to_node >= 0
+        assert sorted(hier.row_to_node[valid].tolist()) == list(range(80))
+
+    def test_locality_on_sbm(self, sbm_small):
+        """On a homophilous SBM the hierarchical layout's cross-host edge
+        fraction must not exceed the naive packer's."""
+        from incagg_gnn_tpu.graph.partition import partition_graph
+        from incagg_gnn_tpu.graph.csr import permute
+
+        data, *_ = sbm_small
+        perm, ptr = partition_graph(data.adj_t, 16, seed=0)
+        data = permute(data, perm)
+        adj = data.adj_t
+        hier = build_shard_layout_hierarchical(ptr, adj.rowptr, adj.col, 2, 4)
+        naive = build_shard_layout(ptr, 8)
+        loc_h = edge_locality(hier, adj.rowptr, adj.col, ptr, 4)
+        loc_n = edge_locality(naive, adj.rowptr, adj.col, ptr, 4)
+        assert loc_h["cross_host"] <= loc_n["cross_host"] + 1e-9
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestTwoDMesh:
+    """(hosts × chips) mesh: tuple-axis collectives + hierarchy-aware layout.
+    Virtual CPU devices stand in for a 2-host pod (SURVEY §4 multi-host
+    testing note); the sharding/collective program is identical."""
+
+    def test_2d_refresh_matches_single_chip(self, sbm_small):
+        data, in_c, out_c = sbm_small
+        cfg = GCNConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                        hidden_channels=24, out_channels=out_c, num_layers=2,
+                        dropout=0.0, drop_input=False)
+        tcfg = TrainerConfig(num_parts=16, batch_size=1, vr_update=True, seed=0)
+        single = Trainer(GCN(cfg), data, tcfg)
+        logits_single = single.fill_history()
+        sharded = ShardedVRTrainer(GCN(cfg), data, tcfg,
+                                   mesh=make_mesh_2d(2, 4))
+        sharded.params = single.params
+        logits_sharded = sharded.refresh()
+        assert np.allclose(logits_sharded, logits_single, atol=2e-3, rtol=1e-3)
+
+    def test_2d_training_learns(self, sbm_small):
+        data, in_c, out_c = sbm_small
+        cfg = GCNConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                        hidden_channels=32, out_channels=out_c, num_layers=2,
+                        dropout=0.1, drop_input=False)
+        tcfg = TrainerConfig(num_parts=16, batch_size=1, vr_update=True,
+                             epochs=10, lr=0.01, seed=0)
+        res = ShardedVRTrainer(GCN(cfg), data, tcfg,
+                               mesh=make_mesh_2d(2, 4)).fit()
+        assert res["best_test"] > 0.75, res
+
+    def test_2d_gas_batch_parallel(self, sbm_small):
+        """Halo all_to_all over the tuple axis (host-major order) must agree
+        with the layout's dev numbering — GAS mode exercises it every layer."""
+        data, in_c, out_c = sbm_small
+        cfg = GCNConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                        hidden_channels=32, out_channels=out_c, num_layers=2,
+                        dropout=0.1, drop_input=False)
+        tcfg = TrainerConfig(num_parts=16, batch_size=1, vr_update=False,
+                             epochs=8, lr=0.01, seed=0)
+        res = ShardedVRTrainer(GCN(cfg), data, tcfg,
+                               mesh=make_mesh_2d(2, 4)).fit()
+        assert res["best_test"] > 0.75, res
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 virtual devices")
