@@ -482,6 +482,45 @@ int64_t csr_to_ell(const int64_t* rowptr, const int32_t* col,
   return ovf;
 }
 
+// Hybrid ELL of the TRANSPOSE of a CSR, built directly (no intermediate
+// transposed CSR): result row j collects the sources i of edges (i -> j).
+// ell_cols/ell_vals are caller-prefilled [>=c x k] padded slabs; overflow is
+// written at counting-sort positions, so ovf_rows comes out sorted (the
+// segment-sum path requires it).  Returns the overflow count, or -1 when it
+// would exceed ovf_cap.
+int64_t csr_to_ell_t(const int64_t* rowptr, const int32_t* col,
+                     const float* value,  // nullable -> 1.0
+                     int64_t r, int64_t c, int64_t k, int32_t* ell_cols,
+                     float* ell_vals, int32_t* ovf_rows, int32_t* ovf_cols,
+                     float* ovf_vals, int64_t ovf_cap) {
+  const int64_t nnz = rowptr[r];
+  std::vector<int64_t> deg(c, 0);
+  for (int64_t e = 0; e < nnz; ++e) ++deg[col[e]];
+  std::vector<int64_t> ovf_start(c + 1, 0);
+  for (int64_t j = 0; j < c; ++j)
+    ovf_start[j + 1] = ovf_start[j] + std::max<int64_t>(deg[j] - k, 0);
+  if (ovf_start[c] > ovf_cap) return -1;
+  std::vector<int64_t>& cursor = deg;  // reuse as per-row slot cursor
+  std::fill(cursor.begin(), cursor.end(), 0);
+  for (int64_t i = 0; i < r; ++i) {
+    for (int64_t e = rowptr[i]; e < rowptr[i + 1]; ++e) {
+      const int64_t j = col[e];
+      const int64_t s = cursor[j]++;
+      const float v = value ? value[e] : 1.0f;
+      if (s < k) {
+        ell_cols[j * k + s] = (int32_t)i;
+        ell_vals[j * k + s] = v;
+      } else {
+        const int64_t p = ovf_start[j] + (s - k);
+        ovf_rows[p] = (int32_t)j;
+        ovf_cols[p] = (int32_t)i;
+        ovf_vals[p] = v;
+      }
+    }
+  }
+  return ovf_start[c];
+}
+
 // CSR transpose via counting sort: [r x c] -> [c x r].
 void transpose_csr(const int64_t* rowptr, const int32_t* col,
                    const float* value,  // nullable

@@ -128,13 +128,26 @@ def build_hybrid_adj(
 
     lib = get_native_lib()
     if lib is not None and col.shape[0] and r > 0:
+        # C++ writes straight into the final padded device-layout buffers
+        # (measured: the old pad-then-copy numpy assembly dominated collate)
         cap = int(np.maximum(deg - k, 0).sum())
-        res = lib.csr_to_ell(rowptr, col, value, k, trash_col, cap)
-        ell_r, ellv_r, ovf_rows, ovf_cols, ovf_vals = res
-        ell_cols = np.full((num_rows_pad, k), trash_col, dtype=np.int32)
-        ell_vals = np.zeros((num_rows_pad, k), dtype=np.float32)
-        ell_cols[:r] = ell_r
-        ell_vals[:r] = ellv_r
+        if ovf_pad is None:
+            ovf_pad = max(8, ((cap + 127) // 128) * 128)
+        assert cap <= ovf_pad, (cap, ovf_pad)
+        res = lib.csr_to_ell(rowptr, col, value, k, trash_col, ovf_pad,
+                             rows_alloc=num_rows_pad,
+                             ovf_row_fill=num_rows_pad - 1)
+        ell_cols, ell_vals, orows, ocols, ovals, o = res
+        deg_full = np.zeros(num_rows_pad, dtype=np.float32)
+        deg_full[:r] = deg
+        return HybridAdj(
+            ell_cols=jnp.asarray(ell_cols),
+            ell_vals=jnp.asarray(ell_vals),
+            ovf_rows=jnp.asarray(orows),
+            ovf_cols=jnp.asarray(ocols),
+            ovf_vals=jnp.asarray(ovals),
+            deg=jnp.asarray(deg_full),
+        )
     else:
         ell_cols = np.full((num_rows_pad, k), trash_col, dtype=np.int32)
         ell_vals = np.zeros((num_rows_pad, k), dtype=np.float32)
@@ -279,7 +292,9 @@ def build_bi_hybrid_adj(
     ovf_pad_t: Optional[int] = None,
 ) -> BiHybridAdj:
     """Build the forward hybrid and its transpose ([C x R], trash col at
-    R_pad-1) from one local CSR block."""
+    R_pad-1) from one local CSR block.  The transpose's ELL is built directly
+    from the forward CSR in one C++ pass (csr_to_ell_t) — no intermediate
+    transposed CSR is materialized (collate hot path)."""
     from incagg_gnn_tpu.utils.native import get_native_lib
 
     fwd = build_hybrid_adj(rowptr, col, value, num_rows_pad, num_cols_pad, k=k,
@@ -287,18 +302,35 @@ def build_bi_hybrid_adj(
     r = int(rowptr.shape[0] - 1)
     lib = get_native_lib()
     if lib is not None and col.shape[0]:
-        t_rowptr, t_cols, t_vals = lib.transpose_csr(rowptr, col, value,
-                                                     num_cols_pad)
-    else:
-        deg = np.diff(rowptr)
-        rows = np.repeat(np.arange(r, dtype=np.int64), deg)
-        order = np.lexsort((rows, col))
-        t_rows = col.astype(np.int64)[order]
-        t_cols = rows[order].astype(np.int32)
-        t_vals = (value[order] if value is not None else None)
-        t_rowptr = np.zeros(num_cols_pad + 1, dtype=np.int64)
-        np.add.at(t_rowptr, t_rows + 1, 1)
-        t_rowptr = np.cumsum(t_rowptr)
+        t_deg = np.bincount(col, minlength=num_cols_pad).astype(np.int64)
+        if k_t is None:
+            k_t = choose_k(t_deg)
+        cap = int(np.maximum(t_deg - k_t, 0).sum())
+        if ovf_pad_t is None:
+            ovf_pad_t = max(8, ((cap + 127) // 128) * 128)
+        assert cap <= ovf_pad_t, (cap, ovf_pad_t)
+        res = lib.csr_to_ell_t(rowptr, col, value, num_cols_pad, k_t,
+                               num_rows_pad - 1, ovf_pad_t,
+                               ovf_row_fill=num_cols_pad - 1)
+        ell_cols, ell_vals, orows, ocols, ovals, o = res
+        bwd = HybridAdj(
+            ell_cols=jnp.asarray(ell_cols),
+            ell_vals=jnp.asarray(ell_vals),
+            ovf_rows=jnp.asarray(orows),
+            ovf_cols=jnp.asarray(ocols),
+            ovf_vals=jnp.asarray(ovals),
+            deg=jnp.asarray(t_deg.astype(np.float32)),
+        )
+        return BiHybridAdj(fwd=fwd, bwd=bwd)
+    deg = np.diff(rowptr)
+    rows = np.repeat(np.arange(r, dtype=np.int64), deg)
+    order = np.lexsort((rows, col))
+    t_rows = col.astype(np.int64)[order]
+    t_cols = rows[order].astype(np.int32)
+    t_vals = (value[order] if value is not None else None)
+    t_rowptr = np.zeros(num_cols_pad + 1, dtype=np.int64)
+    np.add.at(t_rowptr, t_rows + 1, 1)
+    t_rowptr = np.cumsum(t_rowptr)
     bwd = build_hybrid_adj(
         t_rowptr, t_cols, t_vals, num_cols_pad, num_rows_pad, k=k_t,
         ovf_pad=ovf_pad_t, trash_col=num_rows_pad - 1,

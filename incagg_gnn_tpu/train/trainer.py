@@ -69,6 +69,11 @@ class TrainerConfig:
     # enables it when the stacked batches fit a ~1.5GB budget and neither
     # mid-epoch refresh, edge dropout, nor max_steps is in play.
     fused_epoch: str = "auto"  # "auto" | "on" | "off"
+    # Fail-fast watchdog around device round trips: raise DeviceTimeoutError
+    # (with stall diagnostics) when a step/refresh blocks longer than this —
+    # the opposite of the reference's print-and-continue on transfer errors
+    # (async_cuda.cu:86-89, SURVEY §5.3).  0 disables.
+    device_timeout_s: float = 0.0
 
 
 class Trainer:
@@ -223,6 +228,9 @@ class Trainer:
 
         self.metrics = MetricsLogger(cfg.metrics_path)
         self._edges_trained = 0
+        from incagg_gnn_tpu.utils.watchdog import Watchdog
+
+        self.watchdog = Watchdog(cfg.device_timeout_s)
         if log:
             print(f"Trainer ready [{time.perf_counter() - t:.2f}s]")
 
@@ -300,6 +308,8 @@ class Trainer:
             self.params, self.opt_state, self.state, self.hist, stack,
             self.tables, key,
         )
+        if self.cfg.device_timeout_s > 0:
+            loss = self.watchdog.wait(loss, "fused epoch")
         out = {"loss": float(loss), "steps": len(batches), "drift": 0.0,
                "epoch_s": time.perf_counter() - t0}
         self.metrics.log("train_epoch", **out)
@@ -345,6 +355,8 @@ class Trainer:
                     hb.device, self.tables, key,
                 )
                 self.hist = self.hist._replace(emb=emb)
+            if self.cfg.device_timeout_s > 0:
+                metrics = self.watchdog.wait(metrics, f"train step {steps}")
             n = float(metrics["num_train"])
             total_loss += float(metrics["loss"]) * n
             total_n += n

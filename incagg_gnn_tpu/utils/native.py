@@ -88,6 +88,11 @@ class NativeGraphLib:
             _i64p, _i32p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             _i64p, _i32p, ctypes.c_void_p,
         ]
+        dll.csr_to_ell_t.restype = ctypes.c_int64
+        dll.csr_to_ell_t.argtypes = [
+            _i64p, _i32p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, _i32p, _f32p, _i32p, _i32p, _f32p, ctypes.c_int64,
+        ]
         self._node_map: Optional[np.ndarray] = None
 
     def _scratch(self, n: int) -> np.ndarray:
@@ -143,16 +148,28 @@ class NativeGraphLib:
         fn(rowptr, col, n, num_parts, refine_passes, seed, out)
         return out
 
-    def csr_to_ell(self, rowptr, col, value, k, trash_col, ovf_cap):
-        """Fill ELL slabs + COO overflow from CSR; returns
-        (ell_cols, ell_vals, ovf_rows, ovf_cols, ovf_vals, ovf_count) or
-        None when the overflow capacity is insufficient."""
+    @staticmethod
+    def _ell_buffers(rows_alloc, k, trash_col, ovf_alloc, ovf_row_fill):
+        """Final padded device-layout buffers the kernels write straight into
+        (pad slots pre-set to trash/zero — no post-copy assembly needed)."""
+        ell_cols = np.full((rows_alloc, k), trash_col, dtype=np.int32)
+        ell_vals = np.zeros((rows_alloc, k), dtype=np.float32)
+        ovf_rows = np.full(ovf_alloc, ovf_row_fill, dtype=np.int32)
+        ovf_cols = np.full(ovf_alloc, trash_col, dtype=np.int32)
+        ovf_vals = np.zeros(ovf_alloc, dtype=np.float32)
+        return ell_cols, ell_vals, ovf_rows, ovf_cols, ovf_vals
+
+    def csr_to_ell(self, rowptr, col, value, k, trash_col, ovf_cap,
+                   rows_alloc=None, ovf_row_fill=0):
+        """Fill ELL slabs + COO overflow from CSR directly into padded
+        buffers ([rows_alloc, k] slabs, [ovf_cap]-long overflow prefilled with
+        ``ovf_row_fill``/trash); returns (ell_cols, ell_vals, ovf_rows,
+        ovf_cols, ovf_vals, ovf_count) or None when the overflow capacity is
+        insufficient."""
         r = rowptr.shape[0] - 1
-        ell_cols = np.full((r, k), trash_col, dtype=np.int32)
-        ell_vals = np.zeros((r, k), dtype=np.float32)
-        ovf_rows = np.empty(max(ovf_cap, 1), dtype=np.int32)
-        ovf_cols = np.empty(max(ovf_cap, 1), dtype=np.int32)
-        ovf_vals = np.empty(max(ovf_cap, 1), dtype=np.float32)
+        bufs = self._ell_buffers(rows_alloc if rows_alloc else r, k, trash_col,
+                                 max(ovf_cap, 1), ovf_row_fill)
+        ell_cols, ell_vals, ovf_rows, ovf_cols, ovf_vals = bufs
         n = self._dll.csr_to_ell(
             rowptr, np.ascontiguousarray(col, dtype=np.int32),
             self._fptr(value), r, k, ell_cols.reshape(-1), ell_vals.reshape(-1),
@@ -160,7 +177,26 @@ class NativeGraphLib:
         )
         if n < 0:
             return None
-        return ell_cols, ell_vals, ovf_rows[:n], ovf_cols[:n], ovf_vals[:n]
+        return ell_cols, ell_vals, ovf_rows, ovf_cols, ovf_vals, int(n)
+
+    def csr_to_ell_t(self, rowptr, col, value, num_cols, k, trash_col,
+                     ovf_cap, rows_alloc=None, ovf_row_fill=0):
+        """Hybrid ELL of the input's TRANSPOSE built in one C++ pass (no
+        intermediate transposed CSR); same output contract as csr_to_ell,
+        with result rows = input columns (0..num_cols)."""
+        r = rowptr.shape[0] - 1
+        bufs = self._ell_buffers(rows_alloc if rows_alloc else num_cols, k,
+                                 trash_col, max(ovf_cap, 1), ovf_row_fill)
+        ell_cols, ell_vals, ovf_rows, ovf_cols, ovf_vals = bufs
+        n = self._dll.csr_to_ell_t(
+            rowptr, np.ascontiguousarray(col, dtype=np.int32),
+            self._fptr(value), r, num_cols, k,
+            ell_cols.reshape(-1), ell_vals.reshape(-1),
+            ovf_rows, ovf_cols, ovf_vals, ovf_cap,
+        )
+        if n < 0:
+            return None
+        return ell_cols, ell_vals, ovf_rows, ovf_cols, ovf_vals, int(n)
 
     def transpose_csr(self, rowptr, col, value, num_cols):
         r = rowptr.shape[0] - 1

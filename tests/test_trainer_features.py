@@ -120,3 +120,47 @@ class TestBF16Tables:
                              hist_dtype="bfloat16", x_dtype="bfloat16")
         res = Trainer(GCN(cfg), data, tcfg).fit()
         assert res["best_test"] > 0.8, res
+
+
+class TestWatchdog:
+    def test_passthrough_when_fast(self, sbm_small):
+        """With the watchdog armed, a healthy run behaves identically."""
+        data, in_c, out_c = sbm_small
+        t = make_trainer(data, in_c, out_c, vr_update=True, epochs=2,
+                         device_timeout_s=120.0)
+        res = t.fit()
+        assert np.isfinite(res["best_test"])
+        assert t.watchdog.stalls == 0
+
+    def test_times_out_on_stall(self):
+        """A wedged round trip raises DeviceTimeoutError with diagnostics
+        instead of hanging (the reference prints CUDA errors and continues,
+        async_cuda.cu:86-89 — SURVEY §5.3 calls out the corruption hazard)."""
+        import pytest
+
+        from incagg_gnn_tpu.utils.watchdog import DeviceTimeoutError, Watchdog
+
+        class _Stuck:
+            """Pytree leaf whose readiness never arrives."""
+
+        import time as _time
+        import jax
+
+        wd = Watchdog(timeout_s=0.3, warn_fraction=0.5)
+        orig = jax.block_until_ready
+        try:
+            jax.block_until_ready = lambda t: _time.sleep(10)
+            t0 = _time.monotonic()
+            with pytest.raises(DeviceTimeoutError, match="failing fast"):
+                wd.wait(_Stuck(), label="unit stall")
+            assert _time.monotonic() - t0 < 5.0
+            assert wd.stalls == 1  # the warn fired before the deadline
+        finally:
+            jax.block_until_ready = orig
+
+    def test_disabled_by_default(self, sbm_small):
+        data, in_c, out_c = sbm_small
+        t = make_trainer(data, in_c, out_c, vr_update=False, epochs=1)
+        assert t.cfg.device_timeout_s == 0.0
+        res = t.fit()
+        assert np.isfinite(res["best_test"])
