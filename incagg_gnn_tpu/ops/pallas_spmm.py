@@ -6,9 +6,13 @@ Two kernels:
   VMEM, for *batch-local* graphs (Reverb training batches: C·D·4 ≲ 10 MB,
   e.g. a products-config cluster of ≤16K nodes at d=128).  The gather runs as
   VMEM dynamic loads inside the kernel, fused with the multiply/accumulate —
-  no HBM intermediate at all.  NOTE: this jax version's Mosaic rejects the
-  dynamic VMEM row gather (``jnp.take`` inside the kernel) at compile time
-  ("Shape mismatch in input, indices and output"); the kernel is validated in
+  no HBM intermediate at all.  NOTE: Mosaic rejects the dynamic VMEM row
+  gather (``jnp.take`` inside the kernel) at compile time ("Shape mismatch in
+  input, indices and output") — re-confirmed on jax 0.9 along with every
+  alternative formulation (advanced indexing: same rejection; per-row scalar
+  dynamic-slice loop: compiler crash; one-hot MXU matmul gather: compiles but
+  only reaches parity with the XLA gather engine — full analysis in
+  docs/RESULTS.md "Pallas gather re-probe").  The kernel is validated in
   interpret mode and kept as the blueprint for when the lowering lands — the
   production paths use the XLA hybrid implementation (ops/ell.py).
 

@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--hidden", type=int, default=256)
     ap.add_argument("--layers", type=int, default=3)
     ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--hosts", type=int, default=1,
+                    help="emulate a (hosts x chips) 2-D mesh at each device "
+                         "count divisible by it (hierarchy-aware layout)")
     args = ap.parse_args()
 
     if args.force_cpu:
@@ -67,7 +70,13 @@ def main():
         )
         tcfg = TrainerConfig(num_parts=args.num_parts, batch_size=1,
                              vr_update=True, seed=0, epochs=args.epochs)
-        tr = ShardedVRTrainer(GCN(cfg), data, tcfg, mesh=make_mesh(nd))
+        if args.hosts > 1 and nd % args.hosts == 0 and nd > args.hosts:
+            from incagg_gnn_tpu.parallel.mesh import make_mesh_2d
+
+            mesh = make_mesh_2d(args.hosts, nd // args.hosts)
+        else:
+            mesh = make_mesh(nd)
+        tr = ShardedVRTrainer(GCN(cfg), data, tcfg, mesh=mesh)
         tr.refresh()
         tr.train_epoch()  # warm up / compile
         # count IB edges across one epoch of batches (deg holds true counts)
