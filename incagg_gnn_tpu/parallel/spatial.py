@@ -143,6 +143,7 @@ class ShardedVRTrainer:
 
         # ---- partition / permute / transforms (as single-chip) ----
         perm, ptr = partition_graph(data.adj_t, cfg.num_parts, seed=cfg.seed)
+        self.perm = perm
         data = permute(data, perm)
         if cfg.loop:
             data.adj_t = data.adj_t.set_diag()

@@ -57,6 +57,11 @@ class TrainerConfig:
     # VR staleness control: extra cache refreshes inside one epoch
     # (reference: conf.period_updates_in_one_epoch, main.py:54-55)
     period_updates_in_one_epoch: int = 0
+    # Adaptive staleness control (beyond the reference's fixed knobs): refresh
+    # the caches mid-epoch whenever the measured per-step embedding drift
+    # ||x - M_in|| / |IB| exceeds this.  Spends refresh sweeps exactly when
+    # the VR approximation degrades instead of on a blind schedule.  0 = off.
+    refresh_drift_threshold: float = 0.0
     # EMA blending of refreshed caches (reference:
     # update_period_hist_momentum, graphsage.py:963-976); 0 = hard overwrite
     hist_momentum: float = 0.0
@@ -272,6 +277,7 @@ class Trainer:
         if not cfg.vr_update or cfg.fused_epoch == "off":
             return False
         if (cfg.period_updates_in_one_epoch > 0 or cfg.edge_dropout > 0.0
+                or cfg.refresh_drift_threshold > 0.0
                 or 0 < cfg.max_steps < len(batches) or len(batches) < 2):
             return False
         # shuffled batches must be re-staged every epoch; past ~64 batches the
@@ -326,7 +332,7 @@ class Trainer:
 
     def _train_epoch_loop(self, prebuilt) -> Dict[str, float]:
         total_loss = total_n = total_drift = 0.0
-        steps = 0
+        steps = drift_refreshes = 0
         t0 = time.perf_counter()
         # VR staleness knob: refresh caches every `period` steps inside the
         # epoch (conf.period_updates_in_one_epoch, main.py:54-55)
@@ -360,8 +366,15 @@ class Trainer:
             n = float(metrics["num_train"])
             total_loss += float(metrics["loss"]) * n
             total_n += n
-            total_drift += float(metrics.get("drift", 0.0))
+            step_drift = float(metrics.get("drift", 0.0))
+            total_drift += step_drift
             steps += 1
+            # adaptive staleness control: refresh the moment drift crosses
+            # the threshold instead of on a blind schedule
+            if (self.cfg.refresh_drift_threshold > 0.0
+                    and step_drift > self.cfg.refresh_drift_threshold):
+                self._refresh()
+                drift_refreshes += 1
             if steps >= self.max_steps:
                 break
         dt = time.perf_counter() - t0
@@ -369,6 +382,7 @@ class Trainer:
             "loss": total_loss / max(total_n, 1.0),
             "steps": steps,
             "drift": total_drift / max(steps, 1),
+            "drift_refreshes": drift_refreshes,
             "epoch_s": dt,
         }
         self.metrics.log("train_epoch", **out)

@@ -56,6 +56,17 @@ def main(argv=None):
                     help="repeat with seeds seed..seed+runs-1, report mean±std "
                          "(the reference README's accuracy-table protocol)")
     ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--spill", action="store_true",
+                    help="keep history caches in host DRAM streamed through "
+                         "the C++ staging worker (SpillVRTrainer — the "
+                         "reference's operating mode; for caches beyond HBM)")
+    ap.add_argument("--eval-only", action="store_true",
+                    help="no training: fill/refresh histories (restoring a "
+                         "checkpoint first if --checkpoint-dir has one) and "
+                         "report train/val/test accuracy")
+    ap.add_argument("--save-logits", default=None,
+                    help="with --eval-only: write full-graph logits (original "
+                         "node order) to this .npy path")
     ap.add_argument("overrides", nargs="*", help="key=value overrides")
     args = ap.parse_args(argv)
 
@@ -111,6 +122,10 @@ def _run_once(args, run_cfg, data, in_c, out_c):
             mesh = make_mesh_2d(args.n_hosts, args.n_devices // args.n_hosts)
         trainer = ShardedVRTrainer(model, data, run_cfg.trainer, mesh=mesh,
                                    n_devices=args.n_devices, log=True)
+    elif getattr(args, "spill", False):
+        from incagg_gnn_tpu.train.spill_trainer import SpillVRTrainer
+
+        trainer = SpillVRTrainer(model, data, run_cfg.trainer, log=True)
     else:
         trainer = Trainer(model, data, run_cfg.trainer, log=True)
 
@@ -122,8 +137,22 @@ def _run_once(args, run_cfg, data, in_c, out_c):
         ckpt.maybe_restore(trainer)
 
     t = time.perf_counter()
-    trainer.fill_history()
+    logits = trainer.fill_history()
     log.info(f"history filled [{time.perf_counter() - t:.1f}s]")
+
+    if getattr(args, "eval_only", False):
+        ev = trainer.evaluate()
+        log.info(f"eval-only: train {ev['train_acc']:.4f} "
+                 f"val {ev['val_acc']:.4f} test {ev['test_acc']:.4f}")
+        if args.save_logits:
+            import numpy as _np
+
+            # undo the METIS permutation: row i = original node i
+            out = _np.empty_like(logits)
+            out[trainer.perm] = logits
+            _np.save(args.save_logits, out)
+            log.info(f"logits saved to {args.save_logits}")
+        return ev["val_acc"], ev["test_acc"]
 
     best_val = best_test = 0.0
     start_epoch = getattr(trainer, "epoch", 0)

@@ -78,6 +78,47 @@ class TestCLI:
         ])
         assert 0.0 <= val2 <= 1.0
 
+    def test_eval_only_with_logits(self, tmp_path):
+        """--eval-only restores the checkpoint, reports accuracy without
+        training, and dumps full-graph logits in the ORIGINAL node order."""
+        import numpy as np
+
+        import main as cli
+
+        ck = str(tmp_path / "ck")
+        val_tr, _ = cli.main([
+            "--model", os.path.join(REPO, "conf/model/gcn.yaml"),
+            "--dataset", "sbm-small", "--checkpoint-dir", ck,
+            "epochs=4", "num_parts=4", "vr_update=true",
+        ])
+        lp = str(tmp_path / "logits.npy")
+        val_ev, _ = cli.main([
+            "--model", os.path.join(REPO, "conf/model/gcn.yaml"),
+            "--dataset", "sbm-small", "--checkpoint-dir", ck,
+            "--eval-only", "--save-logits", lp,
+            "epochs=4", "num_parts=4", "vr_update=true",
+        ])
+        logits = np.load(lp)
+        from incagg_gnn_tpu.graph.datasets import get_data
+
+        data, _, out_c = get_data("/tmp/datasets", "sbm-small")
+        assert logits.shape == (data.num_nodes, out_c)
+        # logits are de-permuted: argmax accuracy on the original labels
+        # must reproduce the reported eval accuracy on the val split
+        pred = logits.argmax(1)
+        acc = float((pred[data.val_mask] == data.y[data.val_mask]).mean())
+        assert abs(acc - val_ev) < 1e-6
+
+    def test_spill_flag(self):
+        import main as cli
+
+        val, test = cli.main([
+            "--model", os.path.join(REPO, "conf/model/gcn.yaml"),
+            "--dataset", "sbm-small", "--spill",
+            "epochs=2", "num_parts=4", "vr_update=true",
+        ])
+        assert 0.0 <= val <= 1.0
+
 
 class TestCheckpoint:
     def test_roundtrip(self, sbm_small, tmp_path):

@@ -186,3 +186,28 @@ class TestShardedGASBatchParallel:
         tr = ShardedVRTrainer(GCN(cfg), data, tcfg, mesh=make_mesh(4))
         res = tr.fit()
         assert res["best_test"] > 0.75, res
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 virtual devices")
+class TestShardedPNATrueVR:
+    def test_sharded_refresh_matches_single(self, sbm_small):
+        """PNA true-VR's vr_cache_value hook runs inside the sharded refresh
+        shard_map (packed per-branch caches in the sharded emb_ag slabs)."""
+        from incagg_gnn_tpu.models import PNA, PNAConfig, compute_avg_deg
+
+        data, in_c, out_c = sbm_small
+        lin_d, log_d = compute_avg_deg(data.adj_t.degrees() + 1)
+        cfg = PNAConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                        hidden_channels=16, out_channels=out_c, num_layers=2,
+                        dropout=0.0, drop_input=False, true_vr=True,
+                        aggregators=("sum", "mean"), scalers=("identity",),
+                        avg_deg_lin=lin_d, avg_deg_log=log_d)
+        tcfg = TrainerConfig(num_parts=8, batch_size=1, vr_update=True, seed=0)
+        single = Trainer(PNA(cfg), data, tcfg)
+        logits_single = single.fill_history()
+        sharded = ShardedVRTrainer(PNA(cfg), data, tcfg, mesh=make_mesh(4))
+        sharded.params = single.params
+        logits_sharded = sharded.refresh()
+        assert np.allclose(logits_sharded, logits_single, atol=2e-3, rtol=1e-3)
+        m = sharded.train_epoch()
+        assert np.isfinite(m["loss"])

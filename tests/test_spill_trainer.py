@@ -67,3 +67,27 @@ class TestSpillTrainer:
         l1 = hbm.fill_history()
         l2 = spill.fill_history()
         assert np.allclose(l1, l2, atol=2e-3, rtol=1e-3)
+
+
+class TestSpillPNATrueVR:
+    def test_spill_matches_hbm_true_vr(self, sbm_small):
+        """PNA true-VR's packed per-branch caches flow through the spill
+        tier's full-width pulls (StreamedPulls) identically to HBM."""
+        from incagg_gnn_tpu.models import PNA, PNAConfig, compute_avg_deg
+
+        data, in_c, out_c = sbm_small
+        lin_d, log_d = compute_avg_deg(data.adj_t.degrees() + 1)
+        cfg = PNAConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                        hidden_channels=16, out_channels=out_c, num_layers=2,
+                        dropout=0.0, drop_input=False, true_vr=True,
+                        aggregators=("sum", "mean"), scalers=("identity",),
+                        avg_deg_lin=lin_d, avg_deg_log=log_d)
+        tcfg = TrainerConfig(num_parts=8, batch_size=2, vr_update=True, seed=0)
+        hbm = Trainer(PNA(cfg), data, tcfg)
+        spill = SpillVRTrainer(PNA(cfg), data, tcfg)
+        l1 = hbm.fill_history()
+        l2 = spill.fill_history()
+        assert np.allclose(l1, l2, atol=2e-3, rtol=1e-3)
+        m1 = hbm.train_epoch()
+        m2 = spill.train_epoch()
+        assert abs(m1["loss"] - m2["loss"]) < 2e-3, (m1, m2)

@@ -164,3 +164,32 @@ class TestWatchdog:
         assert t.cfg.device_timeout_s == 0.0
         res = t.fit()
         assert np.isfinite(res["best_test"])
+
+
+class TestDriftAdaptiveRefresh:
+    """Adaptive staleness control (beyond the reference's fixed
+    period_updates_in_one_epoch): refresh exactly when measured drift
+    crosses the threshold."""
+
+    def test_triggers_on_tiny_threshold(self, sbm_small):
+        data, in_c, out_c = sbm_small
+        t = make_trainer(data, in_c, out_c, vr_update=True, epochs=1,
+                         refresh_drift_threshold=1e-9)
+        t.fill_history()
+        m = t.train_epoch()
+        assert m["drift_refreshes"] > 0, m
+
+    def test_silent_on_huge_threshold(self, sbm_small):
+        data, in_c, out_c = sbm_small
+        t = make_trainer(data, in_c, out_c, vr_update=True, epochs=1,
+                         refresh_drift_threshold=1e9)
+        t.fill_history()
+        m = t.train_epoch()
+        assert m["drift_refreshes"] == 0, m
+
+    def test_converges_with_threshold(self, sbm_small):
+        data, in_c, out_c = sbm_small
+        t = make_trainer(data, in_c, out_c, vr_update=True, epochs=6,
+                         refresh_drift_threshold=0.5)
+        res = t.fit()
+        assert res["best_test"] > 0.8, res
