@@ -34,6 +34,14 @@ class PNA_JK(PNA):
 
     cfg: PNAJKConfig
 
+    def __init__(self, cfg: PNAJKConfig):
+        if getattr(cfg, "true_vr", False):
+            raise NotImplementedError(
+                "PNA_JK has no true-VR rule (forward_vr is the mock IB "
+                "propagation with the JK head); set true_vr on plain PNA"
+            )
+        super().__init__(cfg)
+
     def init(self, rng):
         c = self.cfg
         keys = jax.random.split(rng, c.num_layers + 1)

@@ -341,3 +341,12 @@ class TestTraining:
     def test_gat_gas(self, sbm_small):
         self._fit(sbm_small, GAT, GATConfig, vr=False, epochs=8,
                   hidden_heads=2, out_heads=1)
+
+
+def test_pna_jk_rejects_true_vr(sbm_tiny):
+    data, in_c, out_c = sbm_tiny
+    cfg = PNAJKConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                      hidden_channels=16, out_channels=out_c, num_layers=2,
+                      dropout=0.0, true_vr=True)
+    with pytest.raises(NotImplementedError, match="true-VR"):
+        PNA_JK(cfg)
