@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from incagg_gnn_tpu.history import HistoryState
 from incagg_gnn_tpu.models.base import BaseConfig, ScalableGNN
 from incagg_gnn_tpu.models.nn import dropout
+from incagg_gnn_tpu.ops.ell import HybridAdj
 from incagg_gnn_tpu.ops.spmm import PaddedAdj, segment_softmax
 
 import jax.ops
@@ -50,9 +51,65 @@ def gat_conv_init(rng, in_dim: int, out_dim: int, heads: int):
     }
 
 
-def gat_conv(p, x: jnp.ndarray, adj: PaddedAdj, heads: int, out_dim: int,
+def gat_conv_hybrid(p, x: jnp.ndarray, adj: HybridAdj, heads: int,
+                    out_dim: int, concat: bool) -> jnp.ndarray:
+    """Scatter-free edge-softmax attention over the hybrid ELL format
+    (forward-only — used by the layer-wise refresh/eval sweeps where no
+    gradient flows; training keeps the COO path whose backward is a sorted
+    segment op).  Per row the softmax reduces over the K ELL slots with the
+    small COO overflow folded in via segment max/sum."""
+    r_pad = adj.num_rows
+    neg = jnp.float32(-1e30)
+    wx = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
+    wx = wx.reshape(x.shape[0], heads, out_dim)
+    a_src = (wx * p["a_l"]).sum(-1)  # [C_pad, H]
+    a_dst = (wx[:r_pad] * p["a_r"]).sum(-1)  # [R_pad, H]
+
+    valid_e = (adj.ell_vals != 0)[..., None]  # [R, K, 1]
+    sc_e = jax.nn.leaky_relu(
+        jnp.take(a_src, adj.ell_cols, axis=0) + a_dst[:, None, :], 0.2)
+    sc_e = jnp.where(valid_e, sc_e, neg)
+
+    valid_o = (adj.ovf_vals != 0)[:, None]  # [O, 1]
+    sc_o = jax.nn.leaky_relu(
+        jnp.take(a_src, adj.ovf_cols, axis=0)
+        + jnp.take(a_dst, adj.ovf_rows, axis=0), 0.2)
+    sc_o = jnp.where(valid_o, sc_o, neg)
+
+    m = sc_e.max(axis=1)  # [R, H]
+    if adj.ovf_rows.shape[0] > 0:
+        m = jnp.maximum(m, jax.ops.segment_max(
+            sc_o, adj.ovf_rows, num_segments=r_pad, indices_are_sorted=True))
+    m = jnp.where(m > neg / 2, m, 0.0)  # rows with no edges: keep exp finite
+
+    e_e = jnp.where(valid_e, jnp.exp(sc_e - m[:, None, :]), 0.0)  # [R, K, H]
+    g = jnp.take(wx, adj.ell_cols.reshape(-1), axis=0)
+    g = g.reshape(adj.ell_cols.shape + (heads, out_dim))  # [R, K, H, D]
+    out = (g * e_e[..., None]).sum(axis=1)  # [R, H, D]
+    z = e_e.sum(axis=1)  # [R, H]
+    if adj.ovf_rows.shape[0] > 0:
+        e_o = jnp.where(
+            valid_o, jnp.exp(sc_o - jnp.take(m, adj.ovf_rows, axis=0)), 0.0)
+        out = out + jax.ops.segment_sum(
+            jnp.take(wx, adj.ovf_cols, axis=0) * e_o[..., None],
+            adj.ovf_rows, num_segments=r_pad, indices_are_sorted=True)
+        z = z + jax.ops.segment_sum(
+            e_o, adj.ovf_rows, num_segments=r_pad, indices_are_sorted=True)
+    out = out / jnp.maximum(z, 1e-16)[..., None]
+    if concat:
+        out = out.reshape(r_pad, heads * out_dim)
+    else:
+        out = out.mean(axis=1)
+    return out + (p["b"] if concat else p["b"].reshape(heads, out_dim).mean(0))
+
+
+def gat_conv(p, x: jnp.ndarray, adj, heads: int, out_dim: int,
              concat: bool, rng, att_dropout: float, training: bool) -> jnp.ndarray:
     """Edge-softmax attention over the padded edge list."""
+    if isinstance(adj, HybridAdj):
+        assert not (training and att_dropout > 0.0 and rng is not None), (
+            "hybrid GAT path is forward-only (refresh/eval)")
+        return gat_conv_hybrid(p, x, adj, heads, out_dim, concat)
     r_pad = adj.num_rows
     wx = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
     wx = wx.reshape(x.shape[0], heads, out_dim)

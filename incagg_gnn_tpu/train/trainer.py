@@ -119,13 +119,17 @@ class Trainer:
         train_mode = "ib" if cfg.vr_update else (
             "ns" if cfg.num_neighbors >= 0 else "gas"
         )
-        needs_coo = (
-            model.__class__.__name__ == "GAT"  # edge-level attention
-            or cfg.edge_dropout > 0.0  # value-level dropout needs edge vals
+        # training with attention needs COO (the attention backward is a
+        # sorted segment op there; ELL autodiff would scatter) and so does
+        # edge dropout; the forward-only refresh/eval sweeps run attention
+        # scatter-free over the hybrid format (gat_conv_hybrid)
+        needs_coo_train = (
+            model.__class__.__name__ == "GAT"
+            or cfg.edge_dropout > 0.0
         )
         if cfg.adj_format == "auto":
-            train_fmt = "coo" if needs_coo else "hybrid"
-            eval_fmt = "coo" if needs_coo else "hybrid-fwd"
+            train_fmt = "coo" if needs_coo_train else "hybrid"
+            eval_fmt = "hybrid-fwd"
         else:
             train_fmt = eval_fmt = cfg.adj_format
             if cfg.adj_format == "hybrid":

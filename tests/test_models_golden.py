@@ -350,3 +350,33 @@ def test_pna_jk_rejects_true_vr(sbm_tiny):
                       dropout=0.0, true_vr=True)
     with pytest.raises(NotImplementedError, match="true-VR"):
         PNA_JK(cfg)
+
+
+class TestGATHybridEval:
+    def test_hybrid_refresh_matches_coo(self, sbm_small):
+        """Scatter-free hybrid-ELL attention (gat_conv_hybrid) reproduces the
+        COO edge-softmax refresh exactly (same params/partition)."""
+        data, in_c, out_c = sbm_small
+        cfg = GATConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                        hidden_channels=16, out_channels=out_c, num_layers=2,
+                        dropout=0.0, hidden_heads=2, out_heads=1)
+        t_coo = Trainer(GAT(cfg), data,
+                        TrainerConfig(num_parts=8, batch_size=2, seed=0,
+                                      adj_format="coo"))
+        t_hyb = Trainer(GAT(cfg), data,
+                        TrainerConfig(num_parts=8, batch_size=2, seed=0,
+                                      adj_format="auto"))
+        t_hyb.params = t_coo.params
+        l1 = t_coo.fill_history()
+        l2 = t_hyb.fill_history()
+        assert np.allclose(l1, l2, atol=2e-3, rtol=1e-3)
+
+    def test_gat_auto_format_trains(self, sbm_small):
+        data, in_c, out_c = sbm_small
+        cfg = GATConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                        hidden_channels=32, out_channels=out_c, num_layers=2,
+                        dropout=0.1, hidden_heads=2, out_heads=1)
+        tcfg = TrainerConfig(num_parts=8, batch_size=2, epochs=8, lr=0.01,
+                             seed=0)
+        res = Trainer(GAT(cfg), data, tcfg).fit()
+        assert res["best_test"] > 0.75, res
