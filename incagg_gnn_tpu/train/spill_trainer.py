@@ -46,7 +46,7 @@ class SpillVRTrainer(Trainer):
     """
 
     def __init__(self, model: ScalableGNN, data: GraphData, cfg: TrainerConfig,
-                 pool_size: int = 2, log: bool = False):
+                 pool_size: int = 3, log: bool = False):
         assert cfg.vr_update, "SpillVRTrainer implements the Reverb/VR mode"
         super().__init__(model, data, cfg, log=log)
         # replace the HBM caches with host tables (free the device arrays)
@@ -187,16 +187,21 @@ class SpillVRTrainer(Trainer):
             # pipelined pulls: issue batch i+1's host gather before waiting
             # on batch i's, so the C++ worker overlaps the device round trip
             # (pool_size >= 2 slots; FIFO discipline as in pool.py:64-99)
+            depth = 0
             if layer > 0:
+                # stage pulls pool_size-1 batches ahead: the C++ worker
+                # overlaps multiple host gathers with the device round trips
                 pull_idx = [np.minimum(hb.n_id, n) for hb in batches]
-                self.spill_in[layer].async_pull(pull_idx[0])
+                depth = min(self.spill_in[layer].pool_size - 1, len(batches))
+                for j in range(depth):
+                    self.spill_in[layer].async_pull(pull_idx[j])
             for i, hb in enumerate(batches):
                 bs = hb.batch_size
                 if layer == 0:
                     x_in = jnp.take(self.tables.x, hb.device.n_id, axis=0)
                 else:
-                    if i + 1 < len(batches):
-                        self.spill_in[layer].async_pull(pull_idx[i + 1])
+                    if i + depth < len(batches):
+                        self.spill_in[layer].async_pull(pull_idx[i + depth])
                     x_rows = np.asarray(self.spill_in[layer].synchronize_pull())
                     self.spill_in[layer].free_pull()
                     dim = model.layer_input_dim(layer)
