@@ -135,9 +135,11 @@ class ShardedVRTrainer:
             int(self.mesh.devices.shape[1])
             if self.mesh.devices.ndim == 2 else self.n_dev
         )
-        # hybrid ELL is the fast default; "coo" forced when edge dropout is on
+        # hybrid ELL is the fast default; "coo" forced when edge dropout or
+        # trainable attention needs edge-level values (same policy as Trainer)
         self.adj_format = (
-            "coo" if (cfg.adj_format == "coo" or cfg.edge_dropout > 0.0)
+            "coo" if (cfg.adj_format == "coo" or cfg.edge_dropout > 0.0
+                      or model.__class__.__name__ == "GAT")
             else "hybrid"
         )
 

@@ -211,3 +211,19 @@ class TestShardedPNATrueVR:
         assert np.allclose(logits_sharded, logits_single, atol=2e-3, rtol=1e-3)
         m = sharded.train_epoch()
         assert np.isfinite(m["loss"])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 virtual devices")
+def test_sharded_gat_gas(sbm_small):
+    """GAT over the sharded batch-parallel GAS path (COO forced for the
+    trainable attention, mirroring the single-chip policy)."""
+    from incagg_gnn_tpu.models import GAT, GATConfig
+
+    data, in_c, out_c = sbm_small
+    cfg = GATConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                    hidden_channels=16, out_channels=out_c, num_layers=2,
+                    dropout=0.1, hidden_heads=2, out_heads=1)
+    tcfg = TrainerConfig(num_parts=8, batch_size=1, vr_update=False,
+                         epochs=6, lr=0.01, seed=0)
+    res = ShardedVRTrainer(GAT(cfg), data, tcfg, mesh=make_mesh(4)).fit()
+    assert res["best_test"] > 0.7, res
