@@ -488,11 +488,20 @@ int64_t csr_to_ell(const int64_t* rowptr, const int32_t* col,
 // written at counting-sort positions, so ovf_rows comes out sorted (the
 // segment-sum path requires it).  Returns the overflow count, or -1 when it
 // would exceed ovf_cap.
+// When t2f is non-null (prefilled -1, length c*k + ovf_cap) it receives, for
+// every transpose slot, the FLAT position of the same edge in the *forward*
+// hybrid layout (row-major ELL [r*k_fwd] then row-sorted overflow) — the
+// static permutation that lets a transpose-side consumer (e.g. the attention
+// backward) gather per-edge values computed on the forward side, with no
+// scatter.  k_fwd must then be the forward ELL width.
 int64_t csr_to_ell_t(const int64_t* rowptr, const int32_t* col,
                      const float* value,  // nullable -> 1.0
                      int64_t r, int64_t c, int64_t k, int32_t* ell_cols,
                      float* ell_vals, int32_t* ovf_rows, int32_t* ovf_cols,
-                     float* ovf_vals, int64_t ovf_cap) {
+                     float* ovf_vals, int64_t ovf_cap, int64_t k_fwd,
+                     int64_t fwd_ovf_base,  // flat offset of the fwd overflow
+                                            // region (= padded_fwd_rows * k_fwd)
+                     int64_t* t2f) {
   const int64_t nnz = rowptr[r];
   std::vector<int64_t> deg(c, 0);
   for (int64_t e = 0; e < nnz; ++e) ++deg[col[e]];
@@ -500,6 +509,13 @@ int64_t csr_to_ell_t(const int64_t* rowptr, const int32_t* col,
   for (int64_t j = 0; j < c; ++j)
     ovf_start[j + 1] = ovf_start[j] + std::max<int64_t>(deg[j] - k, 0);
   if (ovf_start[c] > ovf_cap) return -1;
+  std::vector<int64_t> fwd_ovf_start;
+  if (t2f) {
+    fwd_ovf_start.resize(r + 1, 0);
+    for (int64_t i = 0; i < r; ++i)
+      fwd_ovf_start[i + 1] = fwd_ovf_start[i] +
+          std::max<int64_t>(rowptr[i + 1] - rowptr[i] - k_fwd, 0);
+  }
   std::vector<int64_t>& cursor = deg;  // reuse as per-row slot cursor
   std::fill(cursor.begin(), cursor.end(), 0);
   for (int64_t i = 0; i < r; ++i) {
@@ -507,14 +523,23 @@ int64_t csr_to_ell_t(const int64_t* rowptr, const int32_t* col,
       const int64_t j = col[e];
       const int64_t s = cursor[j]++;
       const float v = value ? value[e] : 1.0f;
+      int64_t bwd_flat;
       if (s < k) {
         ell_cols[j * k + s] = (int32_t)i;
         ell_vals[j * k + s] = v;
+        bwd_flat = j * k + s;
       } else {
         const int64_t p = ovf_start[j] + (s - k);
         ovf_rows[p] = (int32_t)j;
         ovf_cols[p] = (int32_t)i;
         ovf_vals[p] = v;
+        bwd_flat = c * k + p;
+      }
+      if (t2f) {
+        const int64_t p_row = e - rowptr[i];
+        t2f[bwd_flat] = p_row < k_fwd
+            ? i * k_fwd + p_row
+            : fwd_ovf_base + fwd_ovf_start[i] + (p_row - k_fwd);
       }
     }
   }

@@ -117,6 +117,7 @@ class SubgraphLoader:
         align: int = 128,
         pad_slack: float = 1.1,
         adj_format: str = "coo",
+        adj_perm: bool = False,
         device_cache: Optional[bool] = None,
         log: bool = False,
     ):
@@ -128,6 +129,8 @@ class SubgraphLoader:
         assert mode in ("gas", "ib", "ns")
         assert adj_format in ("coo", "hybrid", "hybrid-fwd")
         self.adj_format = adj_format
+        self.adj_perm = adj_perm  # build the transpose-slot permutation
+        # (t2f) for scatter-free trainable attention (models/gat.py)
         self.device_cache = device_cache
         self.data = data
         self.adj = data.adj_t
@@ -281,7 +284,8 @@ class SubgraphLoader:
                                     k=b.k, ovf_pad=b.ovf)
         return build_bi_hybrid_adj(rowptr, col, value, b.rows, b.cols,
                                    k=b.k, k_t=b.k_t, ovf_pad=b.ovf,
-                                   ovf_pad_t=b.ovf_t)
+                                   ovf_pad_t=b.ovf_t,
+                                   with_perm=self.adj_perm)
 
     # ---------------- iteration ----------------
     def __len__(self) -> int:

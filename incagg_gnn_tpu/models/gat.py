@@ -25,10 +25,185 @@ import jax.numpy as jnp
 from incagg_gnn_tpu.history import HistoryState
 from incagg_gnn_tpu.models.base import BaseConfig, ScalableGNN
 from incagg_gnn_tpu.models.nn import dropout
-from incagg_gnn_tpu.ops.ell import HybridAdj
+from incagg_gnn_tpu.ops.ell import BiHybridAdj, HybridAdj
 from incagg_gnn_tpu.ops.spmm import PaddedAdj, segment_softmax
 
 import jax.ops
+
+_NEG = jnp.float32(-1e30)
+
+
+def _hybrid_att_coeffs(fwd: HybridAdj, a_src, a_dst):
+    """Masked leaky-relu scores and row-softmax attention over the hybrid
+    layout.  Returns (att_e [R,K,H], att_o [O,H], pre_e, pre_o, valid_e,
+    valid_o) — pre-activations kept for the backward's leaky-relu factor."""
+    r_pad = fwd.num_rows
+    valid_e = (fwd.ell_vals != 0)[..., None]
+    pre_e = jnp.take(a_src, fwd.ell_cols, axis=0) + a_dst[:, None, :]
+    sc_e = jnp.where(valid_e, jax.nn.leaky_relu(pre_e, 0.2), _NEG)
+    valid_o = (fwd.ovf_vals != 0)[:, None]
+    pre_o = (jnp.take(a_src, fwd.ovf_cols, axis=0)
+             + jnp.take(a_dst, fwd.ovf_rows, axis=0))
+    sc_o = jnp.where(valid_o, jax.nn.leaky_relu(pre_o, 0.2), _NEG)
+
+    m = sc_e.max(axis=1)
+    if fwd.ovf_rows.shape[0] > 0:
+        m = jnp.maximum(m, jax.ops.segment_max(
+            sc_o, fwd.ovf_rows, num_segments=r_pad, indices_are_sorted=True))
+    m = jnp.where(m > _NEG / 2, m, 0.0)
+    e_e = jnp.where(valid_e, jnp.exp(sc_e - m[:, None, :]), 0.0)
+    z = e_e.sum(axis=1)
+    e_o = jnp.zeros_like(sc_o)
+    if fwd.ovf_rows.shape[0] > 0:
+        e_o = jnp.where(
+            valid_o, jnp.exp(sc_o - jnp.take(m, fwd.ovf_rows, axis=0)), 0.0)
+        z = z + jax.ops.segment_sum(
+            e_o, fwd.ovf_rows, num_segments=r_pad, indices_are_sorted=True)
+    z = jnp.maximum(z, 1e-16)
+    att_e = e_e / z[:, None, :]
+    att_o = e_o / jnp.take(z, fwd.ovf_rows, axis=0)
+    return att_e, att_o, pre_e, pre_o, valid_e, valid_o
+
+
+def _att_message_sum(fwd: HybridAdj, att_e, att_o, wx):
+    """out[r] = Σ_slots att · wx[col]  (scatter-free over the hybrid)."""
+    r_pad = fwd.num_rows
+    g = jnp.take(wx, fwd.ell_cols.reshape(-1), axis=0)
+    g = g.reshape(fwd.ell_cols.shape + wx.shape[1:])  # [R, K, H, D]
+    out = (g * att_e[..., None]).sum(axis=1)
+    if fwd.ovf_rows.shape[0] > 0:
+        out = out + jax.ops.segment_sum(
+            jnp.take(wx, fwd.ovf_cols, axis=0) * att_o[..., None],
+            fwd.ovf_rows, num_segments=r_pad, indices_are_sorted=True)
+    return out
+
+
+def _to_bwd_layout(bwd: HybridAdj, t2f, flat):
+    """Move per-edge values from forward-flat layout [F, H] onto the
+    transpose via the static t2f permutation (pads -> 0); returns the bwd
+    ELL block [C, K_t, H] and overflow block [O_t, H]."""
+    v = jnp.where((t2f >= 0)[:, None],
+                  jnp.take(flat, jnp.clip(t2f, 0), axis=0), 0.0)
+    n_ell = bwd.ell_cols.shape[0] * bwd.ell_cols.shape[1]
+    return (v[:n_ell].reshape(bwd.ell_cols.shape + flat.shape[1:]),
+            v[n_ell:])
+
+
+@jax.custom_vjp
+def _att_block(adj: BiHybridAdj, a_src, a_dst, wx, drop_e, drop_o):
+    """Attention aggregation ``out[r] = Σ_j softmax_j(sc)·drop·wx[j]`` with a
+    **scatter-free backward**: every gradient that XLA's autodiff would turn
+    into an unsorted scatter-add (d_wx, d_a_src) instead rides the transpose
+    hybrid, with the forward-layout per-edge values (attention coefficients,
+    score gradients) moved onto it by the static ``t2f`` slot permutation.
+    ``drop_e/drop_o``: attention-dropout masks (already divided by keep-prob;
+    ones at eval)."""
+    att_e, att_o, *_ = _hybrid_att_coeffs(adj.fwd, a_src, a_dst)
+    return _att_message_sum(adj.fwd, att_e * drop_e, att_o * drop_o, wx)
+
+
+def _att_block_fwd(adj, a_src, a_dst, wx, drop_e, drop_o):
+    return _att_block(adj, a_src, a_dst, wx, drop_e, drop_o), (
+        adj, a_src, a_dst, wx, drop_e, drop_o)
+
+
+def _att_block_bwd(res, g):
+    adj, a_src, a_dst, wx, drop_e, drop_o = res
+    fwd, bwd, t2f = adj.fwd, adj.bwd, adj.t2f
+    r_pad = fwd.num_rows
+    heads = wx.shape[1]
+    # rematerialize the softmax (cheap; avoids storing [R,K,H] residuals)
+    att_e, att_o, pre_e, pre_o, valid_e, valid_o = _hybrid_att_coeffs(
+        fwd, a_src, a_dst)
+    # d(att·drop): cotangent of each edge's (dropped) coefficient
+    gw_e = jnp.take(wx, fwd.ell_cols.reshape(-1), axis=0)
+    gw_e = gw_e.reshape(fwd.ell_cols.shape + wx.shape[1:])  # [R,K,H,D]
+    d_attd_e = (gw_e * g[:, None, :, :]).sum(-1)  # [R,K,H]
+    d_attd_o = (jnp.take(wx, fwd.ovf_cols, axis=0)
+                * jnp.take(g, fwd.ovf_rows, axis=0)).sum(-1)  # [O,H]
+    d_att_e = d_attd_e * drop_e
+    d_att_o = d_attd_o * drop_o
+    # softmax backward per row: d_sc = att * (d_att - Σ_row att·d_att)
+    sdot = (att_e * d_att_e).sum(axis=1)
+    if fwd.ovf_rows.shape[0] > 0:
+        sdot = sdot + jax.ops.segment_sum(
+            att_o * d_att_o, fwd.ovf_rows, num_segments=r_pad,
+            indices_are_sorted=True)
+    d_sc_e = att_e * (d_att_e - sdot[:, None, :])
+    d_sc_o = att_o * (d_att_o - jnp.take(sdot, fwd.ovf_rows, axis=0))
+    # leaky-relu factor, masked to real edges
+    d_pre_e = jnp.where(valid_e, d_sc_e * jnp.where(pre_e >= 0, 1.0, 0.2), 0.0)
+    d_pre_o = jnp.where(valid_o, d_sc_o * jnp.where(pre_o >= 0, 1.0, 0.2), 0.0)
+    # d_a_dst: row-local reduction (no scatter)
+    d_a_dst = d_pre_e.sum(axis=1)
+    if fwd.ovf_rows.shape[0] > 0:
+        d_a_dst = d_a_dst + jax.ops.segment_sum(
+            d_pre_o, fwd.ovf_rows, num_segments=r_pad, indices_are_sorted=True)
+    # d_a_src: transpose-side reduction of d_pre (static-permutation gather)
+    d_pre_flat = jnp.concatenate(
+        [d_pre_e.reshape(-1, heads), d_pre_o], axis=0)
+    dpb_e, dpb_o = _to_bwd_layout(bwd, t2f, d_pre_flat)
+    d_a_src = dpb_e.sum(axis=1)
+    if bwd.ovf_rows.shape[0] > 0:
+        d_a_src = d_a_src + jax.ops.segment_sum(
+            dpb_o, bwd.ovf_rows, num_segments=bwd.num_rows,
+            indices_are_sorted=True)
+    # d_wx: transpose aggregation of att·drop against the out-cotangent
+    attd_flat = jnp.concatenate(
+        [(att_e * drop_e).reshape(-1, heads), att_o * drop_o], axis=0)
+    ab_e, ab_o = _to_bwd_layout(bwd, t2f, attd_flat)
+    g_e = jnp.take(g, bwd.ell_cols.reshape(-1), axis=0)
+    g_e = g_e.reshape(bwd.ell_cols.shape + g.shape[1:])  # [C,K_t,H,D]
+    d_wx = (g_e * ab_e[..., None]).sum(axis=1)
+    if bwd.ovf_rows.shape[0] > 0:
+        d_wx = d_wx + jax.ops.segment_sum(
+            jnp.take(g, bwd.ovf_cols, axis=0) * ab_o[..., None],
+            bwd.ovf_rows, num_segments=bwd.num_rows, indices_are_sorted=True)
+
+    def _zero(t):
+        if jnp.issubdtype(t.dtype, jnp.inexact):
+            return jnp.zeros_like(t)
+        import numpy as _np
+
+        return _np.zeros(t.shape, dtype=jax.dtypes.float0)
+
+    return (jax.tree.map(_zero, adj), d_a_src, d_a_dst, d_wx,
+            jnp.zeros_like(drop_e), jnp.zeros_like(drop_o))
+
+
+_att_block.defvjp(_att_block_fwd, _att_block_bwd)
+
+
+def gat_conv_bi(p, x: jnp.ndarray, adj: BiHybridAdj, heads: int,
+                out_dim: int, concat: bool, rng, att_dropout: float,
+                training: bool) -> jnp.ndarray:
+    """Trainable scatter-free attention over the hybrid pair (custom VJP)."""
+    assert adj.t2f is not None, (
+        "GAT training over hybrid needs the transpose permutation "
+        "(loader adj_perm=True)")
+    r_pad = adj.fwd.num_rows
+    wx = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
+    wx = wx.reshape(x.shape[0], heads, out_dim)
+    a_src = (wx * p["a_l"]).sum(-1)
+    a_dst = (wx[:r_pad] * p["a_r"]).sum(-1)
+    k = adj.fwd.ell_cols.shape[1]
+    o = adj.fwd.ovf_rows.shape[0]
+    if training and att_dropout > 0.0 and rng is not None:
+        ke, ko = jax.random.split(rng)
+        keep = 1.0 - att_dropout
+        drop_e = jax.random.bernoulli(
+            ke, keep, (r_pad, k, heads)).astype(jnp.float32) / keep
+        drop_o = jax.random.bernoulli(
+            ko, keep, (o, heads)).astype(jnp.float32) / keep
+    else:
+        drop_e = jnp.ones((r_pad, k, heads), jnp.float32)
+        drop_o = jnp.ones((o, heads), jnp.float32)
+    out = _att_block(adj, a_src, a_dst, wx, drop_e, drop_o)
+    if concat:
+        out = out.reshape(r_pad, heads * out_dim)
+    else:
+        out = out.mean(axis=1)
+    return out + (p["b"] if concat else p["b"].reshape(heads, out_dim).mean(0))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -55,47 +230,16 @@ def gat_conv_hybrid(p, x: jnp.ndarray, adj: HybridAdj, heads: int,
                     out_dim: int, concat: bool) -> jnp.ndarray:
     """Scatter-free edge-softmax attention over the hybrid ELL format
     (forward-only — used by the layer-wise refresh/eval sweeps where no
-    gradient flows; training keeps the COO path whose backward is a sorted
-    segment op).  Per row the softmax reduces over the K ELL slots with the
-    small COO overflow folded in via segment max/sum."""
+    gradient flows; the trainable variant is gat_conv_bi).  Per row the
+    softmax reduces over the K ELL slots with the small COO overflow folded
+    in via sorted segment max/sum."""
     r_pad = adj.num_rows
-    neg = jnp.float32(-1e30)
     wx = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
     wx = wx.reshape(x.shape[0], heads, out_dim)
     a_src = (wx * p["a_l"]).sum(-1)  # [C_pad, H]
     a_dst = (wx[:r_pad] * p["a_r"]).sum(-1)  # [R_pad, H]
-
-    valid_e = (adj.ell_vals != 0)[..., None]  # [R, K, 1]
-    sc_e = jax.nn.leaky_relu(
-        jnp.take(a_src, adj.ell_cols, axis=0) + a_dst[:, None, :], 0.2)
-    sc_e = jnp.where(valid_e, sc_e, neg)
-
-    valid_o = (adj.ovf_vals != 0)[:, None]  # [O, 1]
-    sc_o = jax.nn.leaky_relu(
-        jnp.take(a_src, adj.ovf_cols, axis=0)
-        + jnp.take(a_dst, adj.ovf_rows, axis=0), 0.2)
-    sc_o = jnp.where(valid_o, sc_o, neg)
-
-    m = sc_e.max(axis=1)  # [R, H]
-    if adj.ovf_rows.shape[0] > 0:
-        m = jnp.maximum(m, jax.ops.segment_max(
-            sc_o, adj.ovf_rows, num_segments=r_pad, indices_are_sorted=True))
-    m = jnp.where(m > neg / 2, m, 0.0)  # rows with no edges: keep exp finite
-
-    e_e = jnp.where(valid_e, jnp.exp(sc_e - m[:, None, :]), 0.0)  # [R, K, H]
-    g = jnp.take(wx, adj.ell_cols.reshape(-1), axis=0)
-    g = g.reshape(adj.ell_cols.shape + (heads, out_dim))  # [R, K, H, D]
-    out = (g * e_e[..., None]).sum(axis=1)  # [R, H, D]
-    z = e_e.sum(axis=1)  # [R, H]
-    if adj.ovf_rows.shape[0] > 0:
-        e_o = jnp.where(
-            valid_o, jnp.exp(sc_o - jnp.take(m, adj.ovf_rows, axis=0)), 0.0)
-        out = out + jax.ops.segment_sum(
-            jnp.take(wx, adj.ovf_cols, axis=0) * e_o[..., None],
-            adj.ovf_rows, num_segments=r_pad, indices_are_sorted=True)
-        z = z + jax.ops.segment_sum(
-            e_o, adj.ovf_rows, num_segments=r_pad, indices_are_sorted=True)
-    out = out / jnp.maximum(z, 1e-16)[..., None]
+    att_e, att_o, *_ = _hybrid_att_coeffs(adj, a_src, a_dst)
+    out = _att_message_sum(adj, att_e, att_o, wx)
     if concat:
         out = out.reshape(r_pad, heads * out_dim)
     else:
@@ -106,9 +250,10 @@ def gat_conv_hybrid(p, x: jnp.ndarray, adj: HybridAdj, heads: int,
 def gat_conv(p, x: jnp.ndarray, adj, heads: int, out_dim: int,
              concat: bool, rng, att_dropout: float, training: bool) -> jnp.ndarray:
     """Edge-softmax attention over the padded edge list."""
+    if isinstance(adj, BiHybridAdj):
+        return gat_conv_bi(p, x, adj, heads, out_dim, concat, rng,
+                           att_dropout, training)
     if isinstance(adj, HybridAdj):
-        assert not (training and att_dropout > 0.0 and rng is not None), (
-            "hybrid GAT path is forward-only (refresh/eval)")
         return gat_conv_hybrid(p, x, adj, heads, out_dim, concat)
     r_pad = adj.num_rows
     wx = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
@@ -189,10 +334,11 @@ class GAT(ScalableGNN):
         x = dropout(keys[next(k)], x, c.dropout, training)
         out = self._conv(params, c.num_layers - 1, x, adj, keys[next(k)], training)
 
-        real = batch.adj.vals != 0
-        ib = real & (batch.adj.cols < batch.batch_size)
-        aux = {"num_in_batch_neighbors": ib.sum(),
-               "num_out_batch_neighbors": real.sum() - ib.sum()}
+        from incagg_gnn_tpu.ops.agg import edge_counts
+
+        n_ib, n_ob = edge_counts(batch.adj, batch.batch_size)
+        aux = {"num_in_batch_neighbors": n_ib,
+               "num_out_batch_neighbors": n_ob}
         return out, state, hist_emb, aux
 
     # ---------------- VR fallback ----------------

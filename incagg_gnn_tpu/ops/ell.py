@@ -210,10 +210,19 @@ class BiHybridAdj(NamedTuple):
     VJP below instead computes ``dx = A^T @ g`` as *another* scatter-free
     hybrid aggregation over the host-precomputed transpose, so backward costs
     the same as forward.
+
+    ``t2f`` (optional, built with ``with_perm=True``): for every transpose
+    slot (flattened bwd ELL [C_pad*K_t] then bwd overflow), the flat position
+    of the same edge in the forward layout (fwd ELL [R_pad*K] then fwd
+    overflow); -1 on padding.  Lets a consumer move *per-edge values computed
+    in forward layout* (attention coefficients, score gradients) onto the
+    transpose with a static gather — the enabler for scatter-free attention
+    backward (models/gat.py).
     """
 
     fwd: HybridAdj  # [R x C]
     bwd: HybridAdj  # [C x R]
+    t2f: Optional[jnp.ndarray] = None  # [C_pad*K_t + O_t] int64, -1 = pad
 
     @property
     def num_rows(self) -> int:
@@ -237,7 +246,7 @@ class BiHybridAdj(NamedTuple):
                 jnp.take(row_keep[:, 0], self.bwd.ovf_rows), self.bwd.ovf_vals, 0.0
             ),
         )
-        return BiHybridAdj(fwd, bwd)
+        return BiHybridAdj(fwd, bwd, self.t2f)
 
 
 @jax.custom_vjp
@@ -290,6 +299,7 @@ def build_bi_hybrid_adj(
     k_t: Optional[int] = None,
     ovf_pad: Optional[int] = None,
     ovf_pad_t: Optional[int] = None,
+    with_perm: bool = False,
 ) -> BiHybridAdj:
     """Build the forward hybrid and its transpose ([C x R], trash col at
     R_pad-1) from one local CSR block.  The transpose's ELL is built directly
@@ -299,6 +309,8 @@ def build_bi_hybrid_adj(
 
     fwd = build_hybrid_adj(rowptr, col, value, num_rows_pad, num_cols_pad, k=k,
                            ovf_pad=ovf_pad)
+    k_fwd = int(fwd.ell_cols.shape[1])
+    fwd_ovf_base = num_rows_pad * k_fwd
     r = int(rowptr.shape[0] - 1)
     lib = get_native_lib()
     if lib is not None and col.shape[0]:
@@ -311,8 +323,10 @@ def build_bi_hybrid_adj(
         assert cap <= ovf_pad_t, (cap, ovf_pad_t)
         res = lib.csr_to_ell_t(rowptr, col, value, num_cols_pad, k_t,
                                num_rows_pad - 1, ovf_pad_t,
-                               ovf_row_fill=num_cols_pad - 1)
-        ell_cols, ell_vals, orows, ocols, ovals, o = res
+                               ovf_row_fill=num_cols_pad - 1,
+                               k_fwd=k_fwd, fwd_ovf_base=fwd_ovf_base,
+                               with_perm=with_perm)
+        ell_cols, ell_vals, orows, ocols, ovals, o, t2f = res
         bwd = HybridAdj(
             ell_cols=jnp.asarray(ell_cols),
             ell_vals=jnp.asarray(ell_vals),
@@ -321,7 +335,8 @@ def build_bi_hybrid_adj(
             ovf_vals=jnp.asarray(ovals),
             deg=jnp.asarray(t_deg.astype(np.float32)),
         )
-        return BiHybridAdj(fwd=fwd, bwd=bwd)
+        return BiHybridAdj(fwd=fwd, bwd=bwd,
+                           t2f=jnp.asarray(t2f) if t2f is not None else None)
     deg = np.diff(rowptr)
     rows = np.repeat(np.arange(r, dtype=np.int64), deg)
     order = np.lexsort((rows, col))
@@ -335,7 +350,45 @@ def build_bi_hybrid_adj(
         t_rowptr, t_cols, t_vals, num_cols_pad, num_rows_pad, k=k_t,
         ovf_pad=ovf_pad_t, trash_col=num_rows_pad - 1,
     )
-    return BiHybridAdj(fwd=fwd, bwd=bwd)
+    t2f = None
+    if with_perm:
+        t2f = _transpose_perm_numpy(rowptr, col, k_fwd, fwd_ovf_base,
+                                    int(bwd.ell_cols.shape[1]), num_cols_pad,
+                                    int(bwd.ovf_rows.shape[0]))
+    return BiHybridAdj(fwd=fwd, bwd=bwd,
+                       t2f=jnp.asarray(t2f) if t2f is not None else None)
+
+
+def _transpose_perm_numpy(rowptr, col, k_fwd, fwd_ovf_base, k_t, c_pad,
+                          ovf_pad_t):
+    """Numpy fallback for the transpose-slot -> forward-slot permutation
+    (identical contract to csr_to_ell_t's ``t2f``)."""
+    r = int(rowptr.shape[0] - 1)
+    deg = np.diff(rowptr)
+    e_row = np.repeat(np.arange(r, dtype=np.int64), deg)
+    p_row = np.arange(col.shape[0]) - np.repeat(rowptr[:-1], deg)
+    fwd_ovf_start = np.concatenate([[0], np.cumsum(np.maximum(deg - k_fwd, 0))])
+    fwd_flat = np.where(
+        p_row < k_fwd,
+        e_row * k_fwd + p_row,
+        fwd_ovf_base + fwd_ovf_start[e_row] + (p_row - k_fwd),
+    )
+    # transpose slot: counting-cursor order per column in CSR edge order
+    # (stable sort by col preserves exactly that order within each column)
+    order = np.argsort(col, kind="stable")
+    j = col[order].astype(np.int64)
+    t_deg = np.bincount(col, minlength=c_pad).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(t_deg)])[:-1]
+    s_sorted = np.arange(j.shape[0]) - starts[j]
+    t_ovf_start = np.concatenate([[0], np.cumsum(np.maximum(t_deg - k_t, 0))])
+    bwd_flat = np.where(
+        s_sorted < k_t,
+        j * k_t + s_sorted,
+        c_pad * k_t + t_ovf_start[j] + (s_sorted - k_t),
+    )
+    t2f = np.full(c_pad * k_t + max(ovf_pad_t, 1), -1, dtype=np.int64)
+    t2f[bwd_flat] = fwd_flat[order]
+    return t2f
 
 
 def spmm_hybrid_mean(adj: HybridAdj, x: jnp.ndarray) -> jnp.ndarray:

@@ -119,14 +119,11 @@ class Trainer:
         train_mode = "ib" if cfg.vr_update else (
             "ns" if cfg.num_neighbors >= 0 else "gas"
         )
-        # training with attention needs COO (the attention backward is a
-        # sorted segment op there; ELL autodiff would scatter) and so does
-        # edge dropout; the forward-only refresh/eval sweeps run attention
-        # scatter-free over the hybrid format (gat_conv_hybrid)
-        needs_coo_train = (
-            model.__class__.__name__ == "GAT"
-            or cfg.edge_dropout > 0.0
-        )
+        # edge dropout needs COO (value-level masking).  Attention trains
+        # scatter-free over the hybrid pair: gat_conv_bi's custom VJP rides
+        # the transpose via the static t2f slot permutation (adj_perm)
+        is_gat = model.__class__.__name__ == "GAT"
+        needs_coo_train = cfg.edge_dropout > 0.0
         if cfg.adj_format == "auto":
             train_fmt = "coo" if needs_coo_train else "hybrid"
             eval_fmt = "hybrid-fwd"
@@ -138,6 +135,7 @@ class Trainer:
             data, ptr, batch_size=cfg.batch_size, mode=train_mode,
             num_neighbors=cfg.num_neighbors, shuffle=True, seed=cfg.seed,
             adj_format=train_fmt,
+            adj_perm=is_gat and train_fmt == "hybrid",
         )
         self.eval_loader = EvalSubgraphLoader(
             data, ptr, batch_size=cfg.eval_batch_size, adj_format=eval_fmt

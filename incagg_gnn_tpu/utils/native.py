@@ -92,6 +92,7 @@ class NativeGraphLib:
         dll.csr_to_ell_t.argtypes = [
             _i64p, _i32p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, _i32p, _f32p, _i32p, _i32p, _f32p, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
         ]
         self._node_map: Optional[np.ndarray] = None
 
@@ -180,23 +181,45 @@ class NativeGraphLib:
         return ell_cols, ell_vals, ovf_rows, ovf_cols, ovf_vals, int(n)
 
     def csr_to_ell_t(self, rowptr, col, value, num_cols, k, trash_col,
-                     ovf_cap, rows_alloc=None, ovf_row_fill=0):
+                     ovf_cap, rows_alloc=None, ovf_row_fill=0,
+                     k_fwd=0, fwd_ovf_base=0, with_perm=False):
         """Hybrid ELL of the input's TRANSPOSE built in one C++ pass (no
         intermediate transposed CSR); same output contract as csr_to_ell,
-        with result rows = input columns (0..num_cols)."""
+        with result rows = input columns (0..num_cols).  With ``with_perm``
+        additionally returns ``t2f``: for every transpose slot (flattened
+        [rows_alloc*k] ELL then overflow), the flat position of the same
+        edge in the FORWARD layout (ELL region of width ``k_fwd`` whose
+        overflow region starts at flat index ``fwd_ovf_base``); -1 for pads."""
         r = rowptr.shape[0] - 1
-        bufs = self._ell_buffers(rows_alloc if rows_alloc else num_cols, k,
-                                 trash_col, max(ovf_cap, 1), ovf_row_fill)
+        rows_alloc = rows_alloc if rows_alloc else num_cols
+        bufs = self._ell_buffers(rows_alloc, k, trash_col, max(ovf_cap, 1),
+                                 ovf_row_fill)
         ell_cols, ell_vals, ovf_rows, ovf_cols, ovf_vals = bufs
+        t2f = None
+        t2f_ptr = None
+        if with_perm:
+            # the C++ writes bwd ELL positions as j*k+s with j < num_cols and
+            # overflow positions offset by num_cols*k; allocate at the PADDED
+            # rows_alloc layout and index accordingly below
+            t2f = np.full(num_cols * k + max(ovf_cap, 1), -1, dtype=np.int64)
+            t2f_ptr = t2f.ctypes.data_as(ctypes.c_void_p)
         n = self._dll.csr_to_ell_t(
             rowptr, np.ascontiguousarray(col, dtype=np.int32),
             self._fptr(value), r, num_cols, k,
             ell_cols.reshape(-1), ell_vals.reshape(-1),
             ovf_rows, ovf_cols, ovf_vals, ovf_cap,
+            k_fwd, fwd_ovf_base, t2f_ptr,
         )
         if n < 0:
             return None
-        return ell_cols, ell_vals, ovf_rows, ovf_cols, ovf_vals, int(n)
+        if with_perm and rows_alloc != num_cols:
+            # re-lay the ELL region from [num_cols, k] to [rows_alloc, k]
+            padded = np.full(rows_alloc * k + max(ovf_cap, 1), -1,
+                             dtype=np.int64)
+            padded[: num_cols * k] = t2f[: num_cols * k]
+            padded[rows_alloc * k:] = t2f[num_cols * k:]
+            t2f = padded
+        return ell_cols, ell_vals, ovf_rows, ovf_cols, ovf_vals, int(n), t2f
 
     def transpose_csr(self, rowptr, col, value, num_cols):
         r = rowptr.shape[0] - 1

@@ -380,3 +380,72 @@ class TestGATHybridEval:
                              seed=0)
         res = Trainer(GAT(cfg), data, tcfg).fit()
         assert res["best_test"] > 0.75, res
+
+
+class TestGATHybridTraining:
+    def _cfg(self, data, in_c, out_c):
+        return GATConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                         hidden_channels=16, out_channels=out_c, num_layers=2,
+                         dropout=0.0, hidden_heads=2, out_heads=1)
+
+    def test_hybrid_train_epoch_matches_coo(self, sbm_small):
+        """gat_conv_bi's scatter-free custom-VJP backward produces the same
+        gradients as the COO edge-softmax autodiff: one epoch from identical
+        params must yield identical losses and parameters."""
+        data, in_c, out_c = sbm_small
+        t_coo = Trainer(GAT(self._cfg(data, in_c, out_c)), data,
+                        TrainerConfig(num_parts=8, batch_size=2, seed=0,
+                                      lr=0.01, adj_format="coo"))
+        t_hyb = Trainer(GAT(self._cfg(data, in_c, out_c)), data,
+                        TrainerConfig(num_parts=8, batch_size=2, seed=0,
+                                      lr=0.01, adj_format="auto"))
+        t_coo.fill_history()
+        t_hyb.fill_history()
+        m1 = t_coo.train_epoch()
+        m2 = t_hyb.train_epoch()
+        assert abs(m1["loss"] - m2["loss"]) < 2e-3, (m1["loss"], m2["loss"])
+        for k in ("w", "a_l", "a_r", "b"):
+            w1 = np.asarray(t_coo.params["convs"][0][k])
+            w2 = np.asarray(t_hyb.params["convs"][0][k])
+            assert np.allclose(w1, w2, atol=1e-4), k
+
+    def test_att_block_grads_match_autodiff(self, sbm_tiny):
+        """jax.grad through the custom VJP == jax.grad through the same math
+        with XLA's own (scatter-heavy) autodiff."""
+        import jax
+        import incagg_gnn_tpu.models.gat as gat_mod
+        from incagg_gnn_tpu.graph.partition import partition_graph
+        from incagg_gnn_tpu.graph.csr import permute, gcn_norm
+        from incagg_gnn_tpu.loader import SubgraphLoader
+
+        data, in_c, out_c = sbm_tiny
+        perm, ptr = partition_graph(data.adj_t, 4, seed=0)
+        data = permute(data, perm)
+        ld = SubgraphLoader(data, ptr, batch_size=2, mode="gas",
+                            adj_format="hybrid", adj_perm=True)
+        adj = next(iter(ld)).device.adj
+        rng = np.random.default_rng(0)
+        H, D = 2, 8
+        c_pad = adj.fwd.ell_cols.shape[1] and adj.fwd.ell_vals.shape
+        C = int(np.asarray(adj.bwd.num_rows))
+        R = int(adj.fwd.num_rows)
+        a_src = jnp.asarray(rng.standard_normal((C, H)), jnp.float32)
+        a_dst = jnp.asarray(rng.standard_normal((R, H)), jnp.float32)
+        wx = jnp.asarray(rng.standard_normal((C, H, D)) * 0.3, jnp.float32)
+        ones_e = jnp.ones(adj.fwd.ell_vals.shape + (H,), jnp.float32)
+        ones_o = jnp.ones((adj.fwd.ovf_vals.shape[0], H), jnp.float32)
+
+        def loss_custom(a_s, a_d, w):
+            out = gat_mod._att_block(adj, a_s, a_d, w, ones_e, ones_o)
+            return (out * out).sum()
+
+        def loss_ref(a_s, a_d, w):
+            att_e, att_o, *_ = gat_mod._hybrid_att_coeffs(adj.fwd, a_s, a_d)
+            out = gat_mod._att_message_sum(adj.fwd, att_e, att_o, w)
+            return (out * out).sum()
+
+        g1 = jax.grad(loss_custom, argnums=(0, 1, 2))(a_src, a_dst, wx)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(a_src, a_dst, wx)
+        for a, b, name in zip(g1, g2, ("a_src", "a_dst", "wx")):
+            assert np.allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-4, rtol=1e-3), name
