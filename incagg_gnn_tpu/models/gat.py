@@ -254,6 +254,12 @@ def gat_conv(p, x: jnp.ndarray, adj, heads: int, out_dim: int,
         return gat_conv_bi(p, x, adj, heads, out_dim, concat, rng,
                            att_dropout, training)
     if isinstance(adj, HybridAdj):
+        if training and att_dropout > 0.0 and rng is not None:
+            raise ValueError(
+                "GAT training over forward-only hybrid batches "
+                "(adj_format='hybrid-fwd') cannot apply attention dropout; "
+                "use adj_format='auto'/'hybrid' (scatter-free custom VJP) "
+                "or 'coo'")
         return gat_conv_hybrid(p, x, adj, heads, out_dim, concat)
     r_pad = adj.num_rows
     wx = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)

@@ -51,9 +51,10 @@ def make_mesh_2d(
     if need > len(devs):
         raise ValueError(
             f"requested {n_hosts}x{chips_per_host} devices, have {len(devs)}")
-    if jax.process_count() == n_hosts and n_hosts > 1:
-        # order devices process-major so the host axis is the DCN axis
-        devs = sorted(devs[:need], key=lambda d: (d.process_index, d.id))
+    if jax.process_count() > 1:
+        # order devices process-major BEFORE slicing so the kept subset
+        # fills whole hosts and the host axis tracks process boundaries
+        devs = sorted(devs, key=lambda d: (d.process_index, d.id))
     grid = np.array(devs[:need]).reshape(n_hosts, chips_per_host)
     return Mesh(grid, tuple(axes))
 

@@ -135,8 +135,11 @@ class ShardedVRTrainer:
             int(self.mesh.devices.shape[1])
             if self.mesh.devices.ndim == 2 else self.n_dev
         )
-        # hybrid ELL is the fast default; "coo" forced when edge dropout or
-        # trainable attention needs edge-level values (same policy as Trainer)
+        # hybrid ELL is the fast default; "coo" forced when edge dropout
+        # needs edge-level values, and for GAT because the sharded batch
+        # builder does not yet plumb the t2f transpose permutation that
+        # gat_conv_bi's scatter-free backward requires (single-chip Trainer
+        # does train GAT over hybrid)
         self.adj_format = (
             "coo" if (cfg.adj_format == "coo" or cfg.edge_dropout > 0.0
                       or model.__class__.__name__ == "GAT")
@@ -774,7 +777,9 @@ class ShardedVRTrainer:
         return {"loss": total_loss / max(total_n, 1.0), "steps": steps}
 
     def evaluate(self) -> Dict[str, float]:
-        logits = self.refresh()
+        return self.metrics_from_logits(self.refresh())
+
+    def metrics_from_logits(self, logits: np.ndarray) -> Dict[str, float]:
         d = self.data
         return {
             "train_acc": compute_micro_f1(logits, d.y, d.train_mask),

@@ -35,7 +35,6 @@ from incagg_gnn_tpu.models.base import ScalableGNN, StreamedPulls
 from incagg_gnn_tpu.models.nn import pad_cols
 from incagg_gnn_tpu.train.steps import masked_loss
 from incagg_gnn_tpu.train.trainer import Trainer, TrainerConfig
-from incagg_gnn_tpu.utils.metrics import compute_micro_f1
 
 
 class SpillVRTrainer(Trainer):
@@ -268,10 +267,4 @@ class SpillVRTrainer(Trainer):
             t.table[:] = arr
 
     def evaluate(self) -> Dict[str, float]:
-        logits = self._refresh()
-        d = self.data
-        return {
-            "train_acc": compute_micro_f1(logits, d.y, d.train_mask),
-            "val_acc": compute_micro_f1(logits, d.y, d.val_mask),
-            "test_acc": compute_micro_f1(logits, d.y, d.test_mask),
-        }
+        return self.metrics_from_logits(self._refresh())

@@ -393,7 +393,12 @@ class Trainer:
     def evaluate(self) -> Dict[str, float]:
         """Layer-wise inference + cache refresh, then micro-F1 on all splits
         (main.py:231-249)."""
-        logits = self._refresh()
+        return self.metrics_from_logits(self._refresh())
+
+    def metrics_from_logits(self, logits: np.ndarray) -> Dict[str, float]:
+        """Split accuracies from already-computed full-graph logits (in the
+        trainer's permuted node order) — lets callers holding fresh
+        fill_history/refresh output skip a redundant second sweep."""
         d = self.data
         out = {
             "train_acc": compute_micro_f1(logits, d.y, d.train_mask),

@@ -20,8 +20,9 @@ the watchdog waits on it from a worker thread and abandons it on timeout
 
 from __future__ import annotations
 
-import concurrent.futures
 import logging
+import queue
+import threading
 import time
 from typing import Any, Optional
 
@@ -37,20 +38,38 @@ class Watchdog:
 
     ``warn_fraction``: emit a warning (with elapsed time and label) when a
     wait crosses this fraction of the deadline — early telemetry for flaky
-    transports that recover."""
+    transports that recover.
+
+    The worker is a **daemon** thread: if the deadline fires while it is
+    still wedged inside ``block_until_ready``, the raise must actually
+    terminate the process — a non-daemon worker (e.g. ThreadPoolExecutor's)
+    would be joined by the interpreter's shutdown hooks and hang exit
+    forever, defeating the fail-fast purpose."""
 
     def __init__(self, timeout_s: float, warn_fraction: float = 0.5):
         self.timeout_s = float(timeout_s)
         self.warn_fraction = warn_fraction
-        self._pool: Optional[concurrent.futures.ThreadPoolExecutor] = None
+        self._tasks: Optional[queue.Queue] = None
+        self._done: Optional[queue.Queue] = None
         self.stalls = 0  # warn-level stalls survived (diagnostic counter)
 
-    def _ensure_pool(self):
-        if self._pool is None:
-            self._pool = concurrent.futures.ThreadPoolExecutor(
-                max_workers=1, thread_name_prefix="device-watchdog"
-            )
-        return self._pool
+    def _ensure_worker(self):
+        if self._tasks is None:
+            self._tasks = queue.Queue()
+            self._done = queue.Queue()
+
+            def run(tasks, done):
+                import jax
+
+                while True:
+                    tree = tasks.get()
+                    try:
+                        done.put((True, jax.block_until_ready(tree)))
+                    except BaseException as e:  # surface device errors too
+                        done.put((False, e))
+
+            threading.Thread(target=run, args=(self._tasks, self._done),
+                             name="device-watchdog", daemon=True).start()
 
     def wait(self, tree: Any, label: str = "") -> Any:
         """Block until every array in ``tree`` is ready, or raise
@@ -59,8 +78,8 @@ class Watchdog:
 
         if self.timeout_s <= 0:
             return jax.block_until_ready(tree)
-        pool = self._ensure_pool()
-        fut = pool.submit(jax.block_until_ready, tree)
+        self._ensure_worker()
+        self._tasks.put(tree)
         warn_at = self.timeout_s * self.warn_fraction
         t0 = time.monotonic()
         warned = False
@@ -68,8 +87,11 @@ class Watchdog:
             elapsed = time.monotonic() - t0
             budget = (warn_at if not warned else self.timeout_s) - elapsed
             try:
-                return fut.result(timeout=max(budget, 0.01))
-            except concurrent.futures.TimeoutError:
+                ok, result = self._done.get(timeout=max(budget, 0.01))
+                if not ok:
+                    raise result
+                return result
+            except queue.Empty:
                 elapsed = time.monotonic() - t0
                 if not warned and elapsed >= warn_at:
                     warned = True
@@ -82,8 +104,8 @@ class Watchdog:
                     )
                     continue
                 if elapsed >= self.timeout_s:
-                    # abandon the blocked worker; surface everything we know
-                    self._pool = None  # poisoned: its one thread stays blocked
+                    # abandon the wedged daemon worker (it cannot block exit)
+                    self._tasks = self._done = None
                     raise DeviceTimeoutError(
                         f"device round trip {label or ''} exceeded "
                         f"{self.timeout_s:.1f}s (elapsed {elapsed:.1f}s); "

@@ -141,7 +141,8 @@ def _run_once(args, run_cfg, data, in_c, out_c):
     log.info(f"history filled [{time.perf_counter() - t:.1f}s]")
 
     if getattr(args, "eval_only", False):
-        ev = trainer.evaluate()
+        # reuse the sweep fill_history just ran (no second refresh)
+        ev = trainer.metrics_from_logits(logits)
         log.info(f"eval-only: train {ev['train_acc']:.4f} "
                  f"val {ev['val_acc']:.4f} test {ev['test_acc']:.4f}")
         if args.save_logits:

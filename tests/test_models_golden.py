@@ -449,3 +449,18 @@ class TestGATHybridTraining:
         for a, b, name in zip(g1, g2, ("a_src", "a_dst", "wx")):
             assert np.allclose(np.asarray(a), np.asarray(b),
                                atol=1e-4, rtol=1e-3), name
+
+
+def test_gat_hybrid_fwd_training_dropout_rejected(sbm_tiny):
+    """Explicit adj_format=hybrid-fwd cannot silently drop attention dropout
+    during training (code-review finding)."""
+    data, in_c, out_c = sbm_tiny
+    cfg = GATConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                    hidden_channels=16, out_channels=out_c, num_layers=2,
+                    dropout=0.3, hidden_heads=2, out_heads=1)
+    tcfg = TrainerConfig(num_parts=4, batch_size=2, seed=0, epochs=1,
+                         adj_format="hybrid-fwd")
+    t = Trainer(GAT(cfg), data, tcfg)
+    t.fill_history()
+    with pytest.raises(ValueError, match="attention dropout"):
+        t.train_epoch()
