@@ -28,14 +28,25 @@ host DRAM (see history/spill).
 __version__ = "0.1.0"
 
 from incagg_gnn_tpu.graph.csr import CSRGraph, GraphData, gcn_norm, permute
+from incagg_gnn_tpu.graph.datasets import get_data
 from incagg_gnn_tpu.graph.partition import partition_graph, ind2ptr
 from incagg_gnn_tpu.graph.relabel import relabel_one_hop, relabel_one_hop_within_batch
 from incagg_gnn_tpu.history import HistoryState
 from incagg_gnn_tpu.history_spill import SpilledHistory
 from incagg_gnn_tpu.loader import SubgraphBatch, SubgraphLoader, EvalSubgraphLoader
+from incagg_gnn_tpu.models.base import ScalableGNN
+from incagg_gnn_tpu.models.nn import edge_dropout
 from incagg_gnn_tpu.utils.metrics import compute_micro_f1, index2mask, gen_masks
 
+# public API parity with the reference's __init__ exports
+# (torch_geometric_autoscale/__init__.py:12-33): get_data, History
+# (HistoryState), AsyncIOPool (SpilledHistory), metis (partition_graph),
+# permute, compute_micro_f1, gen_masks, dropout (edge_dropout),
+# SubgraphLoader, EvalSubgraphLoader, ScalableGNN.
 __all__ = [
+    "get_data",
+    "ScalableGNN",
+    "edge_dropout",
     "CSRGraph",
     "GraphData",
     "gcn_norm",
