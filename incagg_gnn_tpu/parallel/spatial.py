@@ -136,15 +136,18 @@ class ShardedVRTrainer:
             if self.mesh.devices.ndim == 2 else self.n_dev
         )
         # hybrid ELL is the fast default; "coo" forced when edge dropout
-        # needs edge-level values, and for GAT because the sharded batch
-        # builder does not yet plumb the t2f transpose permutation that
-        # gat_conv_bi's scatter-free backward requires (single-chip Trainer
-        # does train GAT over hybrid)
+        # needs edge-level values.  GAT: the VR train batches go through the
+        # "bi" pack, which plumbs the t2f transpose permutation for
+        # gat_conv_bi's scatter-free backward; GAS-mode GAT stays on COO
+        # (the GAS stacks are forward-only hybrid, which cannot train
+        # attention)
+        is_gat = model.__class__.__name__ == "GAT"
         self.adj_format = (
             "coo" if (cfg.adj_format == "coo" or cfg.edge_dropout > 0.0
-                      or model.__class__.__name__ == "GAT")
+                      or (is_gat and not cfg.vr_update))
             else "hybrid"
         )
+        self._adj_perm = is_gat and self.adj_format == "hybrid"
 
         # ---- partition / permute / transforms (as single-chip) ----
         perm, ptr = partition_graph(data.adj_t, cfg.num_parts, seed=cfg.seed)
@@ -266,6 +269,8 @@ class ShardedVRTrainer:
         e_pad = _round_up(max_e, 8)
         trash = lay.local_trash()
         fmt_args = self._hybrid_buckets(raw, r_pad, r_pad) if self.adj_format != "coo" else None
+        if fmt_args and self._adj_perm:
+            fmt_args = {**fmt_args, "with_perm": True}
 
         stacks = []
         for i in range(rounds):

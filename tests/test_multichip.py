@@ -227,3 +227,22 @@ def test_sharded_gat_gas(sbm_small):
                          epochs=6, lr=0.01, seed=0)
     res = ShardedVRTrainer(GAT(cfg), data, tcfg, mesh=make_mesh(4)).fit()
     assert res["best_test"] > 0.7, res
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 virtual devices")
+def test_sharded_gat_vr_hybrid(sbm_small):
+    """Sharded GAT in VR mode trains over the hybrid pair (t2f permutation
+    plumbed through the sharded 'bi' pack); eval sweeps run the scatter-free
+    forward-only attention."""
+    from incagg_gnn_tpu.models import GAT, GATConfig
+
+    data, in_c, out_c = sbm_small
+    cfg = GATConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                    hidden_channels=16, out_channels=out_c, num_layers=2,
+                    dropout=0.1, hidden_heads=2, out_heads=1)
+    tcfg = TrainerConfig(num_parts=8, batch_size=1, vr_update=True,
+                         epochs=8, lr=0.01, seed=0)
+    tr = ShardedVRTrainer(GAT(cfg), data, tcfg, mesh=make_mesh(4))
+    assert tr.adj_format == "hybrid" and tr._adj_perm
+    res = tr.fit()
+    assert res["best_test"] > 0.7, res
