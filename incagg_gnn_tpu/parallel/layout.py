@@ -100,7 +100,8 @@ def build_shard_layout_hierarchical(
     n_dev = n_hosts * chips_per_host
     w = cluster_affinity(rowptr, col, ptr)
 
-    # ---- level 1: clusters -> hosts (affinity-greedy with balance cap) ----
+    # ---- level 1: clusters -> hosts (affinity-greedy with balance cap,
+    # then FM-style refinement sweeps) ----
     cap = int(np.ceil(sizes.sum() / n_hosts * (1.0 + balance_slack)))
     host_of = np.full(k, -1, dtype=np.int64)
     load = np.zeros(n_hosts, dtype=np.int64)
@@ -117,6 +118,48 @@ def build_shard_layout_hierarchical(
         host_of[c] = best
         load[best] += sizes[c]
         aff[:, best] += w[:, c]
+    # the greedy is order-degenerate (an empty host has zero affinity, so
+    # the first host fills to its cap before the rest see anything);
+    # FM-style sweeps — single moves, then pairwise swaps (which keep
+    # working when every host sits at the balance cap and no single move
+    # is feasible) — until no step improves the cut
+    def _move(c, h_from, h_to):
+        host_of[c] = h_to
+        load[h_from] -= sizes[c]
+        load[h_to] += sizes[c]
+        aff[:, h_from] -= w[:, c]
+        aff[:, h_to] += w[:, c]
+
+    idx = np.arange(k)
+    for _ in range(8):
+        changed = 0
+        for c in order:
+            h = int(host_of[c])
+            gains = aff[c] - aff[c, h]
+            gains[load + sizes[c] > cap] = -1  # balance cap
+            gains[h] = 0
+            b = int(gains.argmax())
+            if gains[b] > 0:
+                _move(c, h, b)
+                changed += 1
+        for c in range(k):
+            h1 = int(host_of[c])
+            g_c = aff[c] - aff[c, h1]  # c's gain moving to each host
+            h2s = host_of
+            # swap gain with each c2: both move; their mutual edges stay cut
+            tot = (g_c[h2s] + (aff[idx, h1] - aff[idx, h2s]) - 2 * w[c])
+            feas = ((load[h1] - sizes[c] + sizes <= cap)
+                    & (load[h2s] - sizes + sizes[c] <= cap)
+                    & (h2s != h1))
+            tot = np.where(feas, tot, 0)
+            c2 = int(tot.argmax())
+            if tot[c2] > 0:
+                h2 = int(host_of[c2])
+                _move(c, h1, h2)
+                _move(c2, h2, h1)
+                changed += 1
+        if changed == 0:
+            break
 
     # ---- level 2: within each host, size-pack onto chips ----
     dev_of_cluster = np.zeros(k, dtype=np.int64)
