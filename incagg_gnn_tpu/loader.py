@@ -298,6 +298,13 @@ class SubgraphLoader:
             hb, device=jax.tree.map(jnp.asarray, hb.device)
         )
 
+    #: externally supplied HBM headroom (bytes) for batch caching — the
+    #: trainer sets it to (device limit − caches − tables); None = the
+    #: conservative 1.5 GB default.  Matters on slow host↔device links:
+    #: a streamed refresh restages every batch once per LAYER (measured
+    #: tunnel-bound at products scale, docs/RESULTS.md).
+    hbm_budget: Optional[int] = None
+
     def _use_device_cache(self) -> bool:
         # Keep precomputed batches on device only while they fit comfortably
         # in HBM; large-graph eval sweeps stream from host instead (the
@@ -306,7 +313,8 @@ class SubgraphLoader:
             return self.device_cache
         b = self.buckets
         per = (b.rows + b.cols) * 4 + b.edges * 12 + b.rows * (b.k + b.k_t) * 8
-        return per * len(self) < 1_500_000_000
+        budget = self.hbm_budget if self.hbm_budget is not None else 1_500_000_000
+        return per * len(self) < budget
 
     def __iter__(self) -> Iterator[HostBatch]:
         if not self.shuffle:

@@ -158,6 +158,32 @@ class Trainer:
         self.out_table = jnp.zeros(
             (data.num_nodes + 1, model.cfg.out_channels), jnp.float32
         )
+        # eval batches cached in HBM whenever the headroom beyond caches +
+        # tables allows: a streamed refresh restages every batch once per
+        # layer, which is the dominant cost on slow host<->device links
+        # (measured tunnel-bound at products scale, docs/RESULTS.md)
+        try:
+            dev = jax.devices()[0]
+            stats = dev.memory_stats() or {}
+            limit = stats.get("bytes_limit", 0)
+            if not limit and dev.platform == "tpu":
+                kind = dev.device_kind.lower()
+                for tag, gb in (("v5 lite", 16), ("v5e", 16), ("v5p", 95),
+                                ("v4", 32), ("v6", 32)):
+                    if tag in kind:
+                        limit = gb * 10**9
+                        break
+        except Exception:
+            limit = 0
+        if limit:
+            used = sum(
+                int(np.prod(a.shape)) * a.dtype.itemsize
+                for a in jax.tree_util.tree_leaves(
+                    (self.hist, self.tables, self.out_table))
+            )
+            self.eval_loader.hbm_budget = max(
+                int(limit * 0.85) - used, 200_000_000
+            )
         if mesh is not None:
             # node-row sharding of all [N+1, ...] state; GSPMD handles the
             # cross-shard pulls/pushes in the jitted steps.  Row counts are
