@@ -22,6 +22,7 @@ reference's use of undirected ``adj_t`` (data.py:55-116 apply
 
 from __future__ import annotations
 
+import dataclasses
 import os
 from typing import Tuple
 
@@ -42,6 +43,7 @@ def make_sbm(
     val_frac: float = 0.2,
     seed: int = 0,
     multilabel: bool = False,
+    centers_seed: int | None = None,
 ) -> Tuple[GraphData, int, int]:
     """Stochastic-block-model graph with class-correlated features.
 
@@ -70,7 +72,10 @@ def make_sbm(
     col = np.concatenate([dst, src])
     adj = CSRGraph.from_coo(row, col, num_nodes)
 
-    centers = rng.normal(size=(num_classes, num_features)).astype(np.float32)
+    # centers_seed pins the class geometry independently of the node/edge
+    # draw, so several graphs (inductive splits) share one label distribution
+    centers_rng = rng if centers_seed is None else np.random.default_rng(centers_seed)
+    centers = centers_rng.normal(size=(num_classes, num_features)).astype(np.float32)
     x = centers[y] + feature_noise * rng.normal(size=(num_nodes, num_features)).astype(np.float32)
 
     perm = rng.permutation(num_nodes)
@@ -107,9 +112,51 @@ _SBM_PRESETS = {
 }
 
 
-def load_npz_dataset(root: str, name: str) -> Tuple[GraphData, int, int]:
-    """Load a preprocessed ``.npz`` dataset from ``{root}/{name}/data.npz``."""
-    path = os.path.join(root, name, "data.npz")
+# datasets whose val/test live on *separate graphs* (reference: get_ppi with
+# split= returns disjoint graph sets, data.py:100-107; main.py:167-175,244-249
+# evaluates them with a full-graph forward)
+INDUCTIVE_DATASETS = frozenset({"ppi", "sbm-ppi"})
+
+
+def make_sbm_inductive(
+    split: str = "train",
+    num_nodes: int = 2000,
+    num_classes: int = 8,
+    num_features: int = 32,
+    seed: int = 0,
+    **kwargs,
+) -> Tuple[GraphData, int, int]:
+    """Synthetic inductive (PPI-style) dataset: three disjoint multilabel SBM
+    graphs drawn from one shared class geometry (``centers_seed``), so a model
+    trained on the train graph generalizes to the val/test graphs — the same
+    shape as the reference's PPI protocol (data.py:100-107).  The split's own
+    mask is all-True (reference sets ``data[f'{split}_mask'] = ones``)."""
+    sizes = {"train": num_nodes, "val": max(num_nodes // 4, 50),
+             "test": max(num_nodes // 4, 50)}
+    if split not in sizes:
+        raise ValueError(f"split must be train/val/test, got {split!r}")
+    offset = {"train": 0, "val": 1, "test": 2}[split]
+    data, in_c, out_c = make_sbm(
+        num_nodes=sizes[split], num_classes=num_classes,
+        num_features=num_features, seed=seed * 3 + 1 + offset,
+        centers_seed=seed, multilabel=True, **kwargs,
+    )
+    n = data.num_nodes
+    masks = {s: np.full(n, s == split, dtype=bool) for s in sizes}
+    data = dataclasses.replace(
+        data, train_mask=masks["train"], val_mask=masks["val"],
+        test_mask=masks["test"],
+    )
+    return data, in_c, out_c
+
+
+def load_npz_dataset(root: str, name: str,
+                     split: str | None = None) -> Tuple[GraphData, int, int]:
+    """Load a preprocessed ``.npz`` dataset from ``{root}/{name}/data.npz``
+    (or ``data_{split}.npz`` for inductive per-split archives as written by
+    ``scripts/convert_dataset.py --format ppi``)."""
+    fname = f"data_{split}.npz" if split else "data.npz"
+    path = os.path.join(root, name, fname)
     if not os.path.exists(path):
         raise FileNotFoundError(
             f"Dataset archive not found: {path}. Real datasets must be "
@@ -132,15 +179,22 @@ def load_npz_dataset(root: str, name: str) -> Tuple[GraphData, int, int]:
     return data, in_c, out_c
 
 
-def get_data(root: str, name: str, **kwargs) -> Tuple[GraphData, int, int]:
+def get_data(root: str, name: str, split: str = "train",
+             **kwargs) -> Tuple[GraphData, int, int]:
     """Dataset dispatch, mirroring the reference's ``get_data``
     (data.py:118-145): arxiv/products/reddit/flickr/yelp/ppi/amazonproducts
     resolve to on-disk archives; ``sbm-*`` names resolve to synthetic
-    generators (deterministic per seed)."""
+    generators (deterministic per seed).  For inductive datasets
+    (``INDUCTIVE_DATASETS``) ``split`` selects which of the disjoint
+    train/val/test graphs to load (reference ``get_ppi(root, split)``,
+    data.py:100-107); other datasets ignore it."""
     name = name.lower()
+    if name == "sbm-ppi":
+        return make_sbm_inductive(split=split, **kwargs)
     if name in _SBM_PRESETS:
         n, c, f, d = _SBM_PRESETS[name]
         return make_sbm(num_nodes=n, num_classes=c, num_features=f, avg_degree=d, **kwargs)
     if name == "sbm":
         return make_sbm(**kwargs)
-    return load_npz_dataset(root, name)
+    return load_npz_dataset(root, name,
+                            split=split if name in INDUCTIVE_DATASETS else None)

@@ -719,6 +719,18 @@ class ShardedVRTrainer:
 
     fill_history = refresh
 
+    def full_forward(self, data: GraphData) -> np.ndarray:
+        """Inductive eval on a separate graph (reference full_test,
+        main.py:99-102); the throwaway sweep runs single-device — eval
+        graphs are small by construction."""
+        from incagg_gnn_tpu.train.trainer import full_graph_forward
+
+        return full_graph_forward(
+            self.model, self.params, self.state, data,
+            loop=self.cfg.loop, norm=self.cfg.norm,
+            use_aggregation=self.cfg.use_aggregation,
+        )
+
     def train_epoch(self) -> Dict[str, float]:
         if not self.vr:
             return self._train_epoch_gas()

@@ -439,35 +439,11 @@ class Trainer:
         path (reference ``full_test``, main.py:99-102, used for PPI val/test
         graphs, main.py:244-249).  Applies the same loop/norm transforms and
         runs the layer-wise sweep with a throwaway cache."""
-        cfg = self.cfg
-        if cfg.loop:
-            data = dataclasses.replace(data, adj_t=data.adj_t.set_diag())
-        if cfg.norm:
-            data = dataclasses.replace(data, adj_t=gcn_norm(data.adj_t))
-        n = data.num_nodes
-        ptr = np.array([0, n], dtype=np.int64)
-        loader = EvalSubgraphLoader(data, ptr, batch_size=1)
-        # model sized for the training graph; build a cache sized for this one
-        from incagg_gnn_tpu.history import HistoryState
-
-        L, D = self.model.cfg.num_layers, self.model.hist_dim
-        hist = HistoryState(
-            emb=jnp.zeros((L, n + 1, D), jnp.float32),
-            emb_ag=jnp.zeros((L, n + 1, D), jnp.float32),
+        return full_graph_forward(
+            self.model, self.params, self.state, data,
+            loop=self.cfg.loop, norm=self.cfg.norm,
+            use_aggregation=self.cfg.use_aggregation,
         )
-        tables = make_tables(data)
-        # note: separate refresh-fn cache — shapes differ from training graph
-        model = self.model
-        saved = model._refresh_fns
-        model._refresh_fns = {}
-        try:
-            logits, _, _ = model.refresh(
-                self.params, self.state, tables.x, loader, hist,
-                vr=False, use_aggregation=cfg.use_aggregation,
-            )
-        finally:
-            model._refresh_fns = saved
-        return logits
 
     # -- checkpoint protocol (CheckpointManager) -----------------------
     def checkpoint_state(self):
@@ -510,3 +486,49 @@ class Trainer:
                     f"test {ev['test_acc']:.4f} (best {best_test:.4f})"
                 )
         return {"best_val": best_val, "best_test": best_test, "history": history}
+
+
+def full_graph_forward(
+    model: ScalableGNN,
+    params,
+    state,
+    data: GraphData,
+    *,
+    loop: bool = True,
+    norm: bool = True,
+    use_aggregation: bool = True,
+) -> np.ndarray:
+    """Full-graph inference on an arbitrary graph with trained parameters —
+    the inductive eval primitive (reference ``full_test``, main.py:99-102:
+    one whole-graph forward on PPI's separate val/test graphs).
+
+    Works with any trainer that exposes ``model/params/state`` (HBM, spill,
+    sharded); the sweep runs single-device with a throwaway cache, which is
+    ample for inductive eval graphs (they are small by construction)."""
+    from incagg_gnn_tpu.history import HistoryState
+
+    if loop:
+        data = dataclasses.replace(data, adj_t=data.adj_t.set_diag())
+    if norm:
+        data = dataclasses.replace(data, adj_t=gcn_norm(data.adj_t))
+    n = data.num_nodes
+    ptr = np.array([0, n], dtype=np.int64)
+    loader = EvalSubgraphLoader(data, ptr, batch_size=1)
+    # model sized for the training graph; build a cache sized for this one
+    L, D = model.cfg.num_layers, model.hist_dim
+    hist = HistoryState(
+        emb=jnp.zeros((L, n + 1, D), jnp.float32),
+        emb_ag=jnp.zeros((L, n + 1, D), jnp.float32),
+    )
+    tables = make_tables(data)
+    # note: separate refresh-fn cache — shapes differ from training graph
+    saved = model._refresh_fns
+    model._refresh_fns = {}
+    try:
+        logits, _, _ = model.refresh(
+            params, state, tables.x, loader, hist,
+            vr=False, use_aggregation=use_aggregation,
+        )
+    finally:
+        model._refresh_fns = saved
+    return logits

@@ -70,7 +70,7 @@ def main(argv=None):
     ap.add_argument("overrides", nargs="*", help="key=value overrides")
     args = ap.parse_args(argv)
 
-    from incagg_gnn_tpu.graph.datasets import get_data
+    from incagg_gnn_tpu.graph.datasets import INDUCTIVE_DATASETS, get_data
     from incagg_gnn_tpu.train.config import load_config, parse_overrides
     from incagg_gnn_tpu.train.trainer import Trainer
 
@@ -82,6 +82,16 @@ def main(argv=None):
     log.info(f"data: {run_cfg.dataset} N={data.num_nodes} E={data.adj_t.nnz} "
              f"F={in_c} C={out_c} [{time.perf_counter() - t:.1f}s]")
 
+    # inductive datasets: val/test are *separate graphs*, evaluated with a
+    # full-graph forward (reference main.py:167-175,244-249 for PPI)
+    eval_graphs = None
+    if run_cfg.dataset.lower() in INDUCTIVE_DATASETS:
+        val_data, _, _ = get_data(run_cfg.root, run_cfg.dataset, split="val")
+        test_data, _, _ = get_data(run_cfg.root, run_cfg.dataset, split="test")
+        eval_graphs = (val_data, test_data)
+        log.info(f"inductive eval graphs: val N={val_data.num_nodes} "
+                 f"test N={test_data.num_nodes}")
+
     if args.runs > 1:
         import dataclasses as _dc
 
@@ -91,7 +101,8 @@ def main(argv=None):
         base_seed = run_cfg.trainer.seed
         for r in range(args.runs):
             run_cfg.trainer = _dc.replace(run_cfg.trainer, seed=base_seed + r)
-            v, t_acc = _run_once(args, run_cfg, data, in_c, out_c)
+            v, t_acc = _run_once(args, run_cfg, data, in_c, out_c,
+                                 eval_graphs=eval_graphs)
             vals.append(v)
             tests.append(t_acc)
             log.info(f"run {r}: val {v:.4f} test {t_acc:.4f}")
@@ -101,10 +112,10 @@ def main(argv=None):
         )
         return float(_np.mean(vals)), float(_np.mean(tests))
 
-    return _run_once(args, run_cfg, data, in_c, out_c)
+    return _run_once(args, run_cfg, data, in_c, out_c, eval_graphs=eval_graphs)
 
 
-def _run_once(args, run_cfg, data, in_c, out_c):
+def _run_once(args, run_cfg, data, in_c, out_c, eval_graphs=None):
     from incagg_gnn_tpu.train.trainer import Trainer
 
     model = build_model(run_cfg, data, in_c, out_c)
@@ -136,13 +147,28 @@ def _run_once(args, run_cfg, data, in_c, out_c):
         ckpt = CheckpointManager(args.checkpoint_dir)
         ckpt.maybe_restore(trainer)
 
+    def inductive_eval(ev):
+        """Replace val/test metrics with full-graph forwards on the separate
+        inductive graphs (reference main.py:244-249)."""
+        if eval_graphs is None:
+            return ev
+        from incagg_gnn_tpu.utils.metrics import compute_micro_f1
+
+        val_data, test_data = eval_graphs
+        ev = dict(ev)
+        ev["val_acc"] = compute_micro_f1(
+            trainer.full_forward(val_data), val_data.y)
+        ev["test_acc"] = compute_micro_f1(
+            trainer.full_forward(test_data), test_data.y)
+        return ev
+
     t = time.perf_counter()
     logits = trainer.fill_history()
     log.info(f"history filled [{time.perf_counter() - t:.1f}s]")
 
     if getattr(args, "eval_only", False):
         # reuse the sweep fill_history just ran (no second refresh)
-        ev = trainer.metrics_from_logits(logits)
+        ev = inductive_eval(trainer.metrics_from_logits(logits))
         log.info(f"eval-only: train {ev['train_acc']:.4f} "
                  f"val {ev['val_acc']:.4f} test {ev['test_acc']:.4f}")
         if args.save_logits:
@@ -160,7 +186,7 @@ def _run_once(args, run_cfg, data, in_c, out_c):
     for epoch in range(start_epoch, run_cfg.trainer.epochs):
         t = time.perf_counter()
         tr = trainer.train_epoch()
-        ev = trainer.evaluate()
+        ev = inductive_eval(trainer.evaluate())
         if ev["val_acc"] > best_val:
             best_val, best_test = ev["val_acc"], ev["test_acc"]
         if epoch % run_cfg.log_every == 0:
