@@ -13,7 +13,15 @@ Supported inputs:
   edge.csv.gz, node-feat.csv.gz, node-label.csv.gz, split/...).
 - ``saint``: GraphSAINT-style raw files (adj_full.npz [scipy CSR],
   feats.npy, class_map.json, role.json) — covers Reddit/Flickr/Yelp/
-  AmazonProducts as distributed by GraphSAINT (reference data.py:81-116).
+  AmazonProducts as distributed by GraphSAINT (reference data.py:81-116;
+  for AmazonProducts add --argmax-labels --standardize-features to match
+  get_amazon_products, data.py:47-53).
+- ``planetoid``: Planetoid pickles (Cora/Citeseer/Pubmed).
+- ``ppi``: PyG PPI raw files — writes data_{train,val,test}.npz per-split
+  archives for the inductive protocol (reference get_ppi, data.py:100-107).
+- ``wikics``: WikiCS data.json (reference get_wikics, data.py:21-28).
+- ``gnnbench``: gnn-benchmark npz — Coauthor CS/Physics, Amazon
+  Computers/Photo (reference get_coauthor/get_amazon, data.py:30-45).
 
 Output archive keys: rowptr, col, [value], x, y, train_mask, val_mask,
 test_mask — see incagg_gnn_tpu/graph/datasets.py:load_npz_dataset.
@@ -143,19 +151,113 @@ def convert_planetoid(src: str):
     return rowptr, col, feat, y_idx, train_mask, val_mask, test_mask
 
 
+def convert_ppi(src: str):
+    """PyG PPI raw files ({split}_graph.json node-link JSON, {split}_feats.npy,
+    {split}_labels.npy) — the inductive protocol (reference: get_ppi,
+    data.py:100-107, which Batch-concatenates each split's graphs; the raw
+    split graph is already that union).  Returns one archive per split with
+    the split's own mask all-True (reference data.py:105)."""
+    out = {}
+    for split, raw in (("train", "train"), ("val", "valid"), ("test", "test")):
+        g = json.load(open(os.path.join(src, f"{raw}_graph.json")))
+        x = np.load(os.path.join(src, f"{raw}_feats.npy")).astype(np.float32)
+        y = np.load(os.path.join(src, f"{raw}_labels.npy")).astype(np.float32)
+        n = x.shape[0]
+        row = np.array([e["source"] for e in g["links"]], dtype=np.int64)
+        col_ = np.array([e["target"] for e in g["links"]], dtype=np.int64)
+        rowptr, col = symmetrize(row, col_, n)
+        masks = {s: np.full(n, s == split, dtype=bool)
+                 for s in ("train", "val", "test")}
+        out[split] = (rowptr, col, x, y,
+                      masks["train"], masks["val"], masks["test"])
+    return out
+
+
+def convert_wikics(src: str, split_idx: int = 0):
+    """WikiCS ``data.json`` (features, labels, links adjacency lists, 20
+    train/val/stopping splits + one test mask).  The reference uses the
+    *stopping* mask as val (get_wikics, data.py:21-28); ``split_idx`` picks
+    one of the 20 published splits."""
+    d = json.load(open(os.path.join(src, "data.json")))
+    x = np.asarray(d["features"], dtype=np.float32)
+    y = np.asarray(d["labels"], dtype=np.int32)
+    n = x.shape[0]
+    rows, cols = [], []
+    for v, nbrs in enumerate(d["links"]):
+        for u in nbrs:
+            rows.append(v)
+            cols.append(u)
+    rowptr, col = symmetrize(np.array(rows), np.array(cols), n)
+    tr = np.asarray(d["train_masks"][split_idx], dtype=bool)
+    va = np.asarray(d["stopping_masks"][split_idx], dtype=bool)
+    te = np.asarray(d["test_mask"], dtype=bool)
+    return rowptr, col, x, y, tr, va, te
+
+
+def convert_gnnbench(src: str, mask_seed: int = 12345, split_idx: int = 0):
+    """gnn-benchmark ``.npz`` (adj_* CSR, attr_* CSR features, labels) —
+    covers Coauthor CS/Physics and Amazon Computers/Photo.  These datasets
+    ship no splits; like the reference (get_coauthor/get_amazon,
+    data.py:30-45) masks come from ``gen_masks(y, 20, 30, 20)`` under a fixed
+    seed, taking split ``split_idx``."""
+    from incagg_gnn_tpu.utils.metrics import gen_masks
+
+    z = np.load(src if src.endswith(".npz") else os.path.join(src, "data.npz"),
+                allow_pickle=True)
+    n = int(z["adj_shape"][0])
+    adj_indptr = z["adj_indptr"]
+    adj_col = z["adj_indices"].astype(np.int64)
+    row = np.repeat(np.arange(n, dtype=np.int64),
+                    np.diff(adj_indptr).astype(np.int64))
+    rowptr, col = symmetrize(row, adj_col, n)
+    f = int(z["attr_shape"][1])
+    x = np.zeros((n, f), dtype=np.float32)
+    arow = np.repeat(np.arange(n), np.diff(z["attr_indptr"]).astype(np.int64))
+    x[arow, z["attr_indices"]] = z["attr_data"]
+    y = z["labels"].astype(np.int32)
+    tr, va, te = gen_masks(y, 20, 30, num_splits=20, seed=mask_seed)
+    return rowptr, col, x, y, tr[:, split_idx], va[:, split_idx], te[:, split_idx]
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--format", choices=["ogb", "saint", "planetoid"], required=True)
+    ap.add_argument("--format", required=True,
+                    choices=["ogb", "saint", "planetoid", "ppi", "wikics",
+                             "gnnbench"])
     ap.add_argument("--src", required=True)
     ap.add_argument("--out", required=True)
+    ap.add_argument("--split-idx", type=int, default=0,
+                    help="wikics/gnnbench: which of the 20 splits to export")
+    ap.add_argument("--mask-seed", type=int, default=12345,
+                    help="gnnbench: RNG seed for the generated masks "
+                         "(reference data.py:33,42 pins 12345)")
+    ap.add_argument("--argmax-labels", action="store_true",
+                    help="collapse multi-label y to single-label argmax "
+                         "(reference amazonproducts, data.py:51)")
+    ap.add_argument("--standardize-features", action="store_true",
+                    help="x := (x - mean) / std per feature "
+                         "(reference amazonproducts, data.py:50)")
     args = ap.parse_args()
     fn = {"ogb": convert_ogb, "saint": convert_saint,
-          "planetoid": convert_planetoid}[args.format]
-    rowptr, col, x, y, tr, va, te = fn(args.src)
+          "planetoid": convert_planetoid, "ppi": convert_ppi,
+          "wikics": lambda s: convert_wikics(s, args.split_idx),
+          "gnnbench": lambda s: convert_gnnbench(s, args.mask_seed,
+                                                 args.split_idx)}[args.format]
+    res = fn(args.src)
+    splits = res if isinstance(res, dict) else {None: res}
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    np.savez_compressed(args.out, rowptr=rowptr, col=col, x=x, y=y,
-                        train_mask=tr, val_mask=va, test_mask=te)
-    print(f"wrote {args.out}: N={len(rowptr) - 1} E={len(col)} F={x.shape[1]}")
+    for split, (rowptr, col, x, y, tr, va, te) in splits.items():
+        if args.standardize_features:
+            x = (x - x.mean(axis=0)) / np.maximum(x.std(axis=0), 1e-12)
+        if args.argmax_labels and y.ndim == 2:
+            y = y.argmax(axis=1).astype(np.int32)
+        path = args.out
+        if split is not None:  # inductive: data_{split}.npz next to --out
+            path = os.path.join(os.path.dirname(args.out),
+                                f"data_{split}.npz")
+        np.savez_compressed(path, rowptr=rowptr, col=col, x=x, y=y,
+                            train_mask=tr, val_mask=va, test_mask=te)
+        print(f"wrote {path}: N={len(rowptr) - 1} E={len(col)} F={x.shape[1]}")
 
 
 if __name__ == "__main__":

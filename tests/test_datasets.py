@@ -172,3 +172,143 @@ class TestConverter:
                       TrainerConfig(num_parts=2, batch_size=1, epochs=2,
                                     vr_update=True, seed=0)).fit()
         assert np.isfinite(res["best_test"])
+
+
+class TestNewConverters:
+    """PPI / WikiCS / gnn-benchmark raw formats (synthetic raw files)."""
+
+    def _tiny_graph(self, rng, n):
+        row = rng.integers(0, n, size=4 * n)
+        col = rng.integers(0, n, size=4 * n)
+        keep = row != col
+        return row[keep], col[keep]
+
+    def test_ppi_conversion(self, tmp_path, rng):
+        import convert_dataset as cd
+
+        src = tmp_path / "ppi_raw"
+        src.mkdir()
+        sizes = {"train": 60, "valid": 20, "test": 25}
+        for raw, n in sizes.items():
+            row, col = self._tiny_graph(rng, n)
+            links = [{"source": int(r), "target": int(c)}
+                     for r, c in zip(row, col)]
+            json.dump({"directed": False, "nodes": [{"id": i} for i in range(n)],
+                       "links": links}, open(src / f"{raw}_graph.json", "w"))
+            np.save(src / f"{raw}_feats.npy",
+                    rng.normal(size=(n, 8)).astype(np.float32))
+            np.save(src / f"{raw}_labels.npy",
+                    (rng.random((n, 5)) < 0.3).astype(np.float32))
+        out = cd.convert_ppi(str(src))
+        assert set(out) == {"train", "val", "test"}
+        for split, (rowptr, col_, x, y, tr, va, te) in out.items():
+            n = {"train": 60, "val": 20, "test": 25}[split]
+            assert len(rowptr) == n + 1 and x.shape == (n, 8)
+            assert y.shape == (n, 5) and y.dtype == np.float32
+            mask = {"train": tr, "val": va, "test": te}[split]
+            assert mask.all()
+        # symmetric adjacency
+        rowptr, col_ = out["train"][:2]
+        deg = np.diff(rowptr)
+        row_full = np.repeat(np.arange(60), deg)
+        fwd = set(zip(row_full.tolist(), col_.tolist()))
+        assert all((c, r) in fwd for r, c in fwd)
+
+    def test_ppi_cli_writes_split_archives_and_loads(self, tmp_path, rng):
+        import convert_dataset as cd
+
+        src = tmp_path / "ppi_raw"
+        src.mkdir()
+        for raw, n in (("train", 40), ("valid", 15), ("test", 15)):
+            row, col = self._tiny_graph(rng, n)
+            json.dump({"links": [{"source": int(r), "target": int(c)}
+                                 for r, c in zip(row, col)]},
+                      open(src / f"{raw}_graph.json", "w"))
+            np.save(src / f"{raw}_feats.npy",
+                    rng.normal(size=(n, 6)).astype(np.float32))
+            np.save(src / f"{raw}_labels.npy",
+                    (rng.random((n, 3)) < 0.4).astype(np.float32))
+        outdir = tmp_path / "ds" / "ppi"
+        sys.argv = ["x", "--format", "ppi", "--src", str(src),
+                    "--out", str(outdir / "data.npz")]
+        cd.main()
+        for split in ("train", "val", "test"):
+            assert (outdir / f"data_{split}.npz").exists()
+        d, ic, oc = get_data(str(tmp_path / "ds"), "ppi", split="val")
+        assert d.num_nodes == 15 and ic == 6 and oc == 3
+        assert d.val_mask.all() and d.multilabel
+
+    def test_wikics_conversion(self, tmp_path, rng):
+        import convert_dataset as cd
+
+        n, f, nsplits = 30, 7, 3
+        links = [[int(v) for v in rng.integers(0, n, size=3)] for _ in range(n)]
+        d = {
+            "features": rng.normal(size=(n, f)).tolist(),
+            "labels": rng.integers(0, 4, size=n).tolist(),
+            "links": links,
+            "train_masks": [(rng.random(n) < 0.3).tolist() for _ in range(nsplits)],
+            "val_masks": [(rng.random(n) < 0.2).tolist() for _ in range(nsplits)],
+            "stopping_masks": [(rng.random(n) < 0.2).tolist() for _ in range(nsplits)],
+            "test_mask": (rng.random(n) < 0.3).tolist(),
+        }
+        src = tmp_path / "wikics"
+        src.mkdir()
+        json.dump(d, open(src / "data.json", "w"))
+        rowptr, col, x, y, tr, va, te = cd.convert_wikics(str(src), split_idx=1)
+        assert x.shape == (n, f) and y.dtype == np.int32
+        # val mask is the stopping mask (reference get_wikics, data.py:26)
+        assert np.array_equal(va, np.asarray(d["stopping_masks"][1]))
+        assert np.array_equal(te, np.asarray(d["test_mask"]))
+
+    def test_gnnbench_conversion(self, tmp_path, rng):
+        import convert_dataset as cd
+        import scipy.sparse as sp
+
+        n, f = 50, 9
+        adj = sp.random(n, n, density=0.1, format="csr", random_state=0)
+        attr = sp.random(n, f, density=0.3, format="csr", random_state=1)
+        y = rng.integers(0, 3, size=n).astype(np.int32)
+        path = tmp_path / "coauthor_cs.npz"
+        np.savez(path, adj_data=adj.data, adj_indices=adj.indices,
+                 adj_indptr=adj.indptr, adj_shape=np.array(adj.shape),
+                 attr_data=attr.data, attr_indices=attr.indices,
+                 attr_indptr=attr.indptr, attr_shape=np.array(attr.shape),
+                 labels=y)
+        rowptr, col, x, yy, tr, va, te = cd.convert_gnnbench(str(path))
+        assert np.allclose(x, attr.toarray())
+        assert np.array_equal(yy, y)
+        # per-class budget: ~20 train / 30 val per class, disjoint masks
+        assert not (tr & va).any() and not (tr & te).any()
+        assert (tr | va | te).all()
+        # deterministic under the pinned seed
+        _, _, _, _, tr2, _, _ = cd.convert_gnnbench(str(path))
+        assert np.array_equal(tr, tr2)
+
+    def test_amazonproducts_transforms(self, tmp_path, rng):
+        """--argmax-labels / --standardize-features (reference
+        get_amazon_products, data.py:47-53)."""
+        import convert_dataset as cd
+        import scipy.sparse as sp
+
+        n, f, c = 40, 5, 4
+        src = tmp_path / "amazon_raw"
+        src.mkdir()
+        adj = sp.random(n, n, density=0.1, format="csr", random_state=2)
+        sp.save_npz(src / "adj_full.npz", adj)
+        np.save(src / "feats.npy", rng.normal(size=(n, f)).astype(np.float32))
+        onehot = np.eye(c)[rng.integers(0, c, size=n)]
+        json.dump({str(i): onehot[i].tolist() for i in range(n)},
+                  open(src / "class_map.json", "w"))
+        idx = rng.permutation(n)
+        json.dump({"tr": idx[:20].tolist(), "va": idx[20:30].tolist(),
+                   "te": idx[30:].tolist()}, open(src / "role.json", "w"))
+        out = tmp_path / "ds" / "amazonproducts" / "data.npz"
+        sys.argv = ["x", "--format", "saint", "--src", str(src),
+                    "--out", str(out), "--argmax-labels",
+                    "--standardize-features"]
+        cd.main()
+        d, ic, oc = get_data(str(tmp_path / "ds"), "amazonproducts")
+        assert d.y.ndim == 1 and oc == c  # argmaxed to single-label
+        assert abs(float(d.x.mean())) < 1e-5  # standardized
+        assert not d.multilabel
