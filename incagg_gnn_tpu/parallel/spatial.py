@@ -150,7 +150,8 @@ class ShardedVRTrainer:
         self._adj_perm = is_gat and self.adj_format == "hybrid"
 
         # ---- partition / permute / transforms (as single-chip) ----
-        perm, ptr = partition_graph(data.adj_t, cfg.num_parts, seed=cfg.seed)
+        perm, ptr = partition_graph(data.adj_t, cfg.num_parts, seed=cfg.seed,
+                                    method=cfg.partition_method)
         self.perm = perm
         data = permute(data, perm)
         if cfg.loop:

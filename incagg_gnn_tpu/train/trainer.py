@@ -32,6 +32,10 @@ class TrainerConfig:
     SURVEY §5.6 — all flags declared here, unlike the reference)."""
 
     num_parts: int = 8
+    # "greedy" (graph-growing + FM) or "multilevel" (METIS-style V-cycle —
+    # lower cuts on locality-rich real graphs, the reference's partitioner
+    # family, metis.py:14)
+    partition_method: str = "greedy"
     batch_size: int = 1  # clusters per training batch
     vr_update: bool = False  # False = GAS, True = Reverb/VR (conf.VR_update)
     num_neighbors: int = -1  # per-row sampling cap for GAS train loader
@@ -101,7 +105,8 @@ class Trainer:
         t = time.perf_counter()
 
         # --- partition & permute (main.py:144-145) ---
-        perm, ptr = partition_graph(data.adj_t, cfg.num_parts, seed=cfg.seed)
+        perm, ptr = partition_graph(data.adj_t, cfg.num_parts, seed=cfg.seed,
+                                    method=cfg.partition_method)
         data = permute(data, perm)
         self.perm = perm
         self.ptr = ptr

@@ -97,6 +97,21 @@ class TestPartition:
         cut = edge_cut_fraction(data.adj_t, cluster)
         assert cut < 0.55  # random would be ~7/8 = 0.875
 
+    def test_multilevel_method(self, sbm_small):
+        """partition_graph(method="multilevel") — the METIS-style V-cycle —
+        honors the same (perm, ptr) contract and finds real locality."""
+        data, _, _ = sbm_small
+        n = data.num_nodes
+        perm, ptr = partition_graph(data.adj_t, 8, seed=0, method="multilevel")
+        assert sorted(perm.tolist()) == list(range(n))
+        assert np.diff(ptr).sum() == n
+        cluster = np.empty(n, dtype=np.int64)
+        for k in range(8):
+            cluster[perm[ptr[k]:ptr[k + 1]]] = k
+        assert edge_cut_fraction(data.adj_t, cluster) < 0.55
+        with pytest.raises(ValueError):
+            partition_graph(data.adj_t, 8, method="metis5")
+
     def test_single_part(self, sbm_tiny):
         data, _, _ = sbm_tiny
         perm, ptr = partition_graph(data.adj_t, 1)
