@@ -146,6 +146,69 @@ def make_vr_epoch_scan(
     return run
 
 
+def make_gas_epoch_scan(
+    model: ScalableGNN,
+    tx: optax.GradientTransformation,
+    multilabel: bool = False,
+    aggregate_combined: bool = True,
+    use_aggregation: bool = True,
+):
+    """A whole GAS epoch as ONE jitted program — the GAS-mode counterpart of
+    ``make_vr_epoch_scan``.  The history cache rides the scan carry: each
+    step's layer pushes update it in place (donated), exactly the sequencing
+    of the reference's per-step ``push_and_pull`` (base.py:380-456) without
+    per-step dispatch.  Empty-train-mask batches leave params *and* cache
+    untouched (the reference skips the whole batch host-side, so no pushes
+    happen either, main.py:65-66)."""
+
+    def step_core(params, opt_state, state, hist_emb, batch, tables, rng):
+        x = jnp.take(tables.x, batch.n_id, axis=0).astype(jnp.float32)
+        y = jnp.take(tables.y, batch.push_idx, axis=0)
+        mask = jnp.take(tables.train_mask, batch.push_idx, axis=0)
+        mask = mask & (jnp.arange(batch.push_idx.shape[0]) < batch.batch_size)
+
+        def loss_fn(p):
+            out, new_state, new_emb, aux = model.forward_gas(
+                p, state, x, batch, hist_emb, rng, True,
+                aggregate_combined, use_aggregation,
+            )
+            loss, n = masked_loss(out, y, mask, multilabel)
+            return loss, (new_state, new_emb, n)
+
+        (loss, (new_state, new_emb, n)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        updates, new_opt_state = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        keep = n > 0
+
+        def sel(new, old):
+            return jax.tree.map(lambda a, b: jnp.where(keep, a, b), new, old)
+
+        return (sel(new_params, params), sel(new_opt_state, opt_state),
+                sel(new_state, state), sel(new_emb, hist_emb), loss, n)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def run(params, opt_state, state, hist_emb: jnp.ndarray, batch_stack,
+            tables: DeviceTables, rng: jax.Array):
+        def body(carry, batch):
+            params, opt_state, state, hist_emb, rng = carry
+            rng, key = jax.random.split(rng)
+            params, opt_state, state, hist_emb, loss, n = step_core(
+                params, opt_state, state, hist_emb, batch, tables, key
+            )
+            return (params, opt_state, state, hist_emb, rng), (loss, n)
+
+        (params, opt_state, state, hist_emb, _), (losses, ns) = jax.lax.scan(
+            body, (params, opt_state, state, hist_emb, rng), batch_stack
+        )
+        total_n = jnp.maximum(ns.sum(), 1.0)
+        return (params, opt_state, state, hist_emb,
+                (losses * ns).sum() / total_n, ns.sum())
+
+    return run
+
+
 def make_vr_train_step(
     model: ScalableGNN,
     tx: optax.GradientTransformation,

@@ -73,10 +73,11 @@ class TrainerConfig:
     # (1.7x faster on v5e) except where COO is required (GAT attention,
     # edge dropout); or force "coo" / "hybrid"
     adj_format: str = "auto"
-    # Reverb only: run the whole epoch as one scanned jit (eliminates
-    # per-step dispatch; needs all epoch batches staged on device). "auto"
-    # enables it when the stacked batches fit a ~1.5GB budget and neither
-    # mid-epoch refresh, edge dropout, nor max_steps is in play.
+    # Run the whole epoch as one scanned jit (eliminates per-step dispatch;
+    # needs all epoch batches staged on device).  Works in both Reverb and
+    # GAS modes (GAS carries the cache through the scan).  "auto" enables it
+    # when the stacked batches fit a ~1.5GB budget and neither mid-epoch
+    # refresh, edge dropout, max_steps, nor NS resampling is in play.
     fused_epoch: str = "auto"  # "auto" | "on" | "off"
     # Fail-fast watchdog around device round trips: raise DeviceTimeoutError
     # (with stall diagnostics) when a step/refresh blocks longer than this —
@@ -307,11 +308,15 @@ class Trainer:
 
     def _fused_epoch_ok(self, batches) -> bool:
         cfg = self.cfg
-        if not cfg.vr_update or cfg.fused_epoch == "off":
+        if cfg.fused_epoch == "off":
             return False
         if (cfg.period_updates_in_one_epoch > 0 or cfg.edge_dropout > 0.0
                 or cfg.refresh_drift_threshold > 0.0
                 or 0 < cfg.max_steps < len(batches) or len(batches) < 2):
+            return False
+        # NS mode re-draws the sampled subgraphs every epoch — shapes can
+        # shift between epochs and recompile the fused program each time
+        if not cfg.vr_update and cfg.num_neighbors >= 0:
             return False
         # shuffled batches must be re-staged every epoch; past ~64 batches the
         # staging cost can exceed the dispatch savings (measured at 1M nodes /
@@ -330,23 +335,43 @@ class Trainer:
         return per * len(batches) < 1_500_000_000
 
     def _train_epoch_fused(self, batches) -> Dict[str, float]:
-        """Whole epoch as one scanned jit (make_vr_epoch_scan)."""
+        """Whole epoch as one scanned jit (make_vr_epoch_scan /
+        make_gas_epoch_scan)."""
         if getattr(self, "_fused_fn", None) is None:
-            from incagg_gnn_tpu.train.steps import make_vr_epoch_scan
-
-            self._fused_fn = make_vr_epoch_scan(
-                self.model, self.tx, multilabel=self.multilabel,
-                drift_norm=self.cfg.drift_norm,
+            from incagg_gnn_tpu.train.steps import (
+                make_gas_epoch_scan,
+                make_vr_epoch_scan,
             )
+
+            if self.cfg.vr_update:
+                self._fused_fn = make_vr_epoch_scan(
+                    self.model, self.tx, multilabel=self.multilabel,
+                    drift_norm=self.cfg.drift_norm,
+                )
+            else:
+                self._fused_fn = make_gas_epoch_scan(
+                    self.model, self.tx, multilabel=self.multilabel,
+                    aggregate_combined=self.cfg.aggregate_combined,
+                    use_aggregation=self.cfg.use_aggregation,
+                )
         stack = jax.tree.map(
             lambda *xs: jnp.stack(xs), *[hb.device for hb in batches]
         )
         self.rng, key = jax.random.split(self.rng)
         t0 = time.perf_counter()
-        (self.params, self.opt_state, self.state, loss, n) = self._fused_fn(
-            self.params, self.opt_state, self.state, self.hist, stack,
-            self.tables, key,
-        )
+        if self.cfg.vr_update:
+            (self.params, self.opt_state, self.state, loss, n) = self._fused_fn(
+                self.params, self.opt_state, self.state, self.hist, stack,
+                self.tables, key,
+            )
+        else:
+            (self.params, self.opt_state, self.state, emb, loss, n) = (
+                self._fused_fn(
+                    self.params, self.opt_state, self.state, self.hist.emb,
+                    stack, self.tables, key,
+                )
+            )
+            self.hist = self.hist._replace(emb=emb)
         if self.cfg.device_timeout_s > 0:
             loss = self.watchdog.wait(loss, "fused epoch")
         out = {"loss": float(loss), "steps": len(batches), "drift": 0.0,
@@ -356,7 +381,7 @@ class Trainer:
 
     def train_epoch(self) -> Dict[str, float]:
         """One training epoch (mini_train, main.py:47-96)."""
-        if self.cfg.vr_update and self.cfg.fused_epoch != "off":
+        if self.cfg.fused_epoch != "off":
             batches = list(self.train_loader)
             if self._fused_epoch_ok(batches):
                 return self._train_epoch_fused(batches)

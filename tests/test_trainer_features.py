@@ -193,3 +193,43 @@ class TestDriftAdaptiveRefresh:
                          refresh_drift_threshold=0.5)
         res = t.fit()
         assert res["best_test"] > 0.8, res
+
+
+class TestFusedEpoch:
+    """Whole-epoch scanned jit must be step-for-step equivalent to the
+    per-batch loop (both Reverb and GAS modes carry identical math; GAS
+    additionally carries the cache through the scan)."""
+
+    def _train(self, vr, fused, epochs=2):
+        data, in_c, out_c = make_sbm(num_nodes=300, num_classes=4,
+                                     num_features=12, avg_degree=8.0, seed=3)
+        cfg = GCNConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                        hidden_channels=16, out_channels=out_c,
+                        num_layers=2, dropout=0.0)
+        tcfg = TrainerConfig(num_parts=4, batch_size=1, vr_update=vr,
+                             epochs=epochs, seed=0, fused_epoch=fused)
+        tr = Trainer(GCN(cfg), data, tcfg)
+        tr.fill_history()
+        for _ in range(epochs):
+            out = tr.train_epoch()
+        return tr, out
+
+    @pytest.mark.parametrize("vr", [False, True])
+    def test_fused_matches_loop(self, vr):
+        tr_f, out_f = self._train(vr, "on")
+        tr_l, out_l = self._train(vr, "off")
+        # fused path actually ran (shapes uniform, constraints satisfied)
+        assert getattr(tr_f, "_fused_fn", None) is not None
+        assert getattr(tr_l, "_fused_fn", None) is None
+        import jax
+
+        for a, b in zip(jax.tree.leaves(tr_f.params),
+                        jax.tree.leaves(tr_l.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+        if not vr:  # GAS: per-step cache pushes must match too
+            np.testing.assert_allclose(
+                np.asarray(tr_f.hist.emb), np.asarray(tr_l.hist.emb),
+                rtol=1e-4, atol=1e-5)
+        ev_f, ev_l = tr_f.evaluate(), tr_l.evaluate()
+        assert abs(ev_f["test_acc"] - ev_l["test_acc"]) < 1e-6
