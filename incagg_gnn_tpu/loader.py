@@ -328,6 +328,26 @@ class SubgraphLoader:
             return
         epoch = self._epoch
         self._epoch += 1
+        # single-cluster batches with no resampling: shuffling only permutes
+        # the batch ORDER, never the contents — collate once, cache (on
+        # device when it fits), and replay in the epoch's shuffled order.
+        # Kills the per-epoch collate + host->device restaging that
+        # dominates training time on slow links (docs/RESULTS.md), exactly
+        # for the headline batch_size=1 configs (products GCN/GCNII/APPNP).
+        if self.batch_size == 1 and self.mode != "ns":
+            if self._cache is None:
+                groups = self._groups(shuffled=False)
+                self._cache = [
+                    self._collate(g, 0, i) for i, g in enumerate(groups)
+                ]
+                if self._use_device_cache():
+                    self._cache = [self._to_device(hb) for hb in self._cache]
+            order = np.random.default_rng((self.seed, epoch)).permutation(
+                self.num_clusters
+            )
+            for k in order:
+                yield self._to_device(self._cache[k])
+            return
         groups = self._groups(shuffled=True, epoch=epoch)
         for i, g in enumerate(groups):
             yield self._to_device(self._collate(g, epoch, i))

@@ -211,3 +211,58 @@ class TestLoader:
             expected = d[hb.n_id[: hb.batch_size]] @ data.x
             assert np.allclose(out[: hb.batch_size], expected, atol=1e-4)
             assert np.allclose(out[hb.batch_size:], 0.0, atol=1e-5)
+
+
+class TestSingletonShuffleCache:
+    """batch_size=1 + shuffle: contents are epoch-invariant, so batches are
+    collated once and replayed in the epoch's shuffled order."""
+
+    def _prepared(self, sbm_small, num_parts=8):
+        data, _, _ = sbm_small
+        perm, ptr = partition_graph(data.adj_t, num_parts, seed=0)
+        data = permute(data, perm)
+        data.adj_t = gcn_norm(data.adj_t.set_diag())
+        return data, ptr
+
+    def test_replay_matches_fresh_collate_and_counts(self, sbm_small):
+        data, ptr = self._prepared(sbm_small)
+        cached = SubgraphLoader(data, ptr, batch_size=1, mode="ib",
+                                shuffle=True, seed=7)
+        calls = {"n": 0}
+        orig = cached._collate
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            return orig(*a, **k)
+
+        cached._collate = counting
+        epochs = [list(cached) for _ in range(3)]
+        # one collate per cluster, total — not per epoch
+        assert calls["n"] == cached.num_clusters
+        # orders differ across epochs; batch set identical
+        o0 = [int(hb.n_id[0]) for hb in epochs[0]]
+        o1 = [int(hb.n_id[0]) for hb in epochs[1]]
+        assert o0 != o1 and sorted(o0) == sorted(o1)
+        # contents match a fresh unshuffled collation of the same cluster
+        fresh = SubgraphLoader(data, ptr, batch_size=1, mode="ib",
+                               shuffle=False, seed=7)
+        by_first = {int(hb.n_id[0]): hb for hb in fresh}
+        for hb in epochs[2]:
+            ref = by_first[int(hb.n_id[0])]
+            assert np.array_equal(np.asarray(hb.n_id), np.asarray(ref.n_id))
+            assert hb.batch_size == ref.batch_size
+
+    def test_ns_mode_not_cached(self, sbm_small):
+        data, ptr = self._prepared(sbm_small)
+        ns = SubgraphLoader(data, ptr, batch_size=1, mode="ns",
+                            num_neighbors=3, shuffle=True, seed=0)
+        calls = {"n": 0}
+        orig = ns._collate
+
+        def counting(*a, **k):
+            calls["n"] += 1
+            return orig(*a, **k)
+
+        ns._collate = counting
+        list(ns), list(ns)
+        assert calls["n"] == 2 * ns.num_clusters  # re-sampled every epoch
