@@ -162,6 +162,16 @@ class ScalableGNN:
     #: exchange_fn: [slab, D] -> [C_pad, D]
     _shard_halo = None
 
+    #: when set (by the spill GAS trainer during tracing), push_and_pull
+    #: reads pulled OB rows from this pre-staged ``[L, C_pad, hist_dim]``
+    #: stack (host tables gathered before the step, the reference's
+    #: prefetch-all-pulls, base.py:203-204) and ``hist_emb`` is a per-batch
+    #: ``[L, R_pad, hist_dim]`` accumulator of pushed IB rows that the
+    #: trainer writes back to the host tables after the step
+    _stream_pulled = None
+    #: trace-time record of which slots GAS pushes touch (for host write-back)
+    _stream_pushed_slots = None
+
     def push_and_pull(
         self,
         hist_emb: jnp.ndarray,
@@ -178,6 +188,16 @@ class ScalableGNN:
         pushed = jax.lax.stop_gradient(
             jnp.where(valid, pad_cols(h, self.hist_dim), 0.0)
         )
+        if self._stream_pulled is not None:
+            # spill tier: accumulate IB pushes row-aligned (host writes them
+            # back chunk-contiguously) and splice the pre-staged OB pulls
+            if self._stream_pushed_slots is not None:
+                self._stream_pushed_slots.add(slot)
+            hist_emb = hist_emb.at[slot].set(pushed.astype(hist_emb.dtype))
+            pulled = self._stream_pulled[slot][:, :d].astype(h.dtype)
+            ib = (jnp.arange(c_pad) < batch.batch_size)[:, None]
+            x = jnp.where(ib, pad_rows(h, c_pad), pulled)
+            return x, hist_emb
         hist_emb = hist_emb.at[slot, batch.push_idx].set(
             pushed.astype(hist_emb.dtype)
         )

@@ -46,8 +46,8 @@ class SpillVRTrainer(Trainer):
 
     def __init__(self, model: ScalableGNN, data: GraphData, cfg: TrainerConfig,
                  pool_size: int = 3, log: bool = False):
-        assert cfg.vr_update, "SpillVRTrainer implements the Reverb/VR mode"
         super().__init__(model, data, cfg, log=log)
+        self.vr = cfg.vr_update
         # replace the HBM caches with host tables (free the device arrays)
         self.hist = None
         L, D = model.cfg.num_layers, model.hist_dim
@@ -57,11 +57,15 @@ class SpillVRTrainer(Trainer):
             SpilledHistory(n, D, pool_size=pool_size, buffer_size=buf)
             for _ in range(L)
         ]
+        # M_ag tables exist only in Reverb mode; GAS keeps just the
+        # layer-output histories (reference base.py:67-81 vs GAS upstream)
         self.spill_ag: List[SpilledHistory] = [
             SpilledHistory(n, D, pool_size=pool_size, buffer_size=buf)
             for _ in range(L)
-        ]
+        ] if self.vr else []
         self._vr_step_streamed = None
+        self._gas_step_streamed = None
+        self._gas_push_slots: Optional[List[int]] = None
         self._refresh_layer_jit: Dict[int, object] = {}
 
     # ------------------------------------------------------------------
@@ -94,6 +98,66 @@ class SpillVRTrainer(Trainer):
 
         return step
 
+    def _make_streamed_gas_step(self):
+        """GAS step with host-resident histories: OB pulls arrive pre-staged
+        (``pulled [L, C_pad, D]``) and IB pushes leave in a row-aligned
+        accumulator the host writes back — the reference's shipped operating
+        mode (GAS training + pinned-CPU caches + async pool,
+        base.py:126-240 / pool.py)."""
+        model, tx, cfg = self.model, self.tx, self.cfg
+        multilabel = self.multilabel
+        L, D = model.cfg.num_layers, model.hist_dim
+        pushed_slots: set = set()
+
+        @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+        def step(params, opt_state, state, pulled, batch, tables, rng):
+            x = jnp.take(tables.x, batch.n_id, axis=0).astype(jnp.float32)
+            y = jnp.take(tables.y, batch.push_idx, axis=0)
+            mask = jnp.take(tables.train_mask, batch.push_idx, axis=0)
+            mask = mask & (jnp.arange(batch.push_idx.shape[0]) < batch.batch_size)
+            acc0 = jnp.zeros((L, batch.push_idx.shape[0], D), jnp.float32)
+
+            def loss_fn(p):
+                model._stream_pulled = pulled
+                model._stream_pushed_slots = pushed_slots
+                try:
+                    out, new_state, acc, aux = model.forward_gas(
+                        p, state, x, batch, acc0, rng, True,
+                        cfg.aggregate_combined, cfg.use_aggregation)
+                finally:
+                    model._stream_pulled = None
+                    model._stream_pushed_slots = None
+                loss, nn = masked_loss(out, y, mask, multilabel)
+                return loss, (new_state, acc, aux, nn)
+
+            (loss, (new_state, acc, aux, nn)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            return new_params, new_opt, new_state, acc, {
+                "loss": loss, "num_train": nn, **aux}
+
+        return step, pushed_slots
+
+    def _stage_gas_pulls(self, hb: HostBatch) -> jnp.ndarray:
+        """Gather the batch's OB rows of every layer's history from the host
+        tables into a ``[L, C_pad, D]`` stack aligned with ``n_id`` (OB rows
+        sit at positions ``batch_size:``) — the reference's prefetch-all
+        (base.py:203-204: async_pull of ``n_id[batch_size:]`` per layer)."""
+        L, D = self.model.cfg.num_layers, self.model.hist_dim
+        c_pad = int(np.asarray(hb.device.n_id).shape[0])
+        bs = hb.batch_size
+        ob = hb.n_id[bs:]
+        out = np.zeros((L, c_pad, D), np.float32)
+        if len(ob):
+            for l in range(1, L):
+                self.spill_in[l].async_pull(ob)
+            for l in range(1, L):
+                out[l, bs : bs + len(ob)] = np.asarray(
+                    self.spill_in[l].synchronize_pull())
+                self.spill_in[l].free_pull()
+        return jnp.asarray(out)
+
     def _stage_pulls(self, hb: HostBatch) -> StreamedPulls:
         """Gather the batch's IB rows of every layer from the host tables
         (C++ worker, FIFO slots) and stage them to HBM, padded to R_pad."""
@@ -115,6 +179,8 @@ class SpillVRTrainer(Trainer):
         return StreamedPulls(m_in=jnp.asarray(m_in), m_ag=jnp.asarray(m_ag))
 
     def train_epoch(self) -> Dict[str, float]:
+        if not self.vr:
+            return self._train_epoch_gas()
         if self._vr_step_streamed is None:
             self._vr_step_streamed = self._make_streamed_step()
         from incagg_gnn_tpu.utils.prefetch import prefetch
@@ -142,6 +208,46 @@ class SpillVRTrainer(Trainer):
                 break
         return {"loss": total_loss / max(total_n, 1.0), "steps": steps}
 
+    def _train_epoch_gas(self) -> Dict[str, float]:
+        """GAS epoch over host tables: staged OB pulls in, chunked IB pushes
+        out — the sequencing of reference mini_train + push_and_pull
+        (main.py:58-92, base.py:380-456).  Note pushes land before the next
+        batch's pulls are CONSUMED but after they were issued, matching the
+        reference's prefetch-at-step-start semantics (base.py:203-204) —
+        hence staging depth 1 here (deeper prefetch would serve stale rows
+        the reference would have seen fresh)."""
+        if self._gas_step_streamed is None:
+            self._gas_step_streamed, self._gas_traced_slots = (
+                self._make_streamed_gas_step())
+        total_loss = total_n = 0.0
+        steps = 0
+        for hb in self.train_loader:
+            if not self._train_mask_host[hb.n_id[: hb.batch_size]].any():
+                continue
+            pulled = self._stage_gas_pulls(hb)
+            self.rng, key = jax.random.split(self.rng)
+            (self.params, self.opt_state, self.state, acc, metrics) = (
+                self._gas_step_streamed(
+                    self.params, self.opt_state, self.state, pulled,
+                    hb.device, self.tables, key))
+            if self._gas_push_slots is None:
+                # populated at trace time by push_and_pull's streaming branch
+                self._gas_push_slots = sorted(self._gas_traced_slots)
+            bs = hb.batch_size
+            acc_host = np.asarray(acc)
+            for slot in self._gas_push_slots:
+                self.spill_in[slot].async_push(
+                    acc_host[slot][:bs], offset=hb.offset, count=hb.count)
+            n = float(metrics["num_train"])
+            total_loss += float(metrics["loss"]) * n
+            total_n += n
+            steps += 1
+            if steps >= self.max_steps:
+                break
+        for t in self.spill_in:
+            t.synchronize_push()
+        return {"loss": total_loss / max(total_n, 1.0), "steps": steps}
+
     # ------------------------------------------------------------------
     # layer-wise refresh against the host tables (mini_inference_vr flow)
     # ------------------------------------------------------------------
@@ -150,17 +256,20 @@ class SpillVRTrainer(Trainer):
             return self._refresh_layer_jit[layer]
         model = self.model
         L, D = model.cfg.num_layers, model.hist_dim
+        vr = self.vr
 
         @jax.jit
         def fn(params, state, x_in, x0_ib, batch):
             r_pad = batch.adj.num_rows
             outs = {}
-            if layer == 0:
+            if layer == 0 and (vr or model.needs_x0):
+                # GAS needs m_in[0] only as the x0 source (GCNII residual)
                 m0 = model.layer0_cache_input(params, x_in)
                 outs["m_in"] = pad_cols(m0[:r_pad], D)
-                outs["m_ag"] = pad_cols(
-                    model.vr_cache_value(params, 0, batch.adj, m0), D)
-            else:
+                if vr:
+                    outs["m_ag"] = pad_cols(
+                        model.vr_cache_value(params, 0, batch.adj, m0), D)
+            elif vr:
                 outs["m_ag"] = pad_cols(
                     model.vr_cache_value(params, layer, batch.adj, x_in), D)
             out = model.forward_layer(params, state, layer, x_in, x0_ib,
@@ -216,15 +325,17 @@ class SpillVRTrainer(Trainer):
                     x0_ib = jnp.asarray(xb0)
                 outs = fn(self.params, self.state, x_in, x0_ib, hb.device)
                 # chunk-contiguous pushes (offset/count contract)
-                if layer == 0:
+                if layer == 0 and "m_in" in outs:
                     m_in_host = np.asarray(outs["m_in"])[:bs]
-                    self.spill_in[0].async_push(
-                        m_in_host, offset=hb.offset, count=hb.count)
+                    if self.vr:
+                        self.spill_in[0].async_push(
+                            m_in_host, offset=hb.offset, count=hb.count)
                     if model.needs_x0:
                         x0_host[hb.n_id[:bs]] = m_in_host[:, : model.x0_dim]
-                self.spill_ag[layer].async_push(
-                    np.asarray(outs["m_ag"])[:bs], offset=hb.offset,
-                    count=hb.count)
+                if "m_ag" in outs:
+                    self.spill_ag[layer].async_push(
+                        np.asarray(outs["m_ag"])[:bs], offset=hb.offset,
+                        count=hb.count)
                 out_host = np.asarray(outs["out"])[:bs]
                 if layer < L - 1:
                     if out_host.shape[1] != D:

@@ -321,8 +321,16 @@ class Trainer:
         # shuffled batches must be re-staged every epoch; past ~64 batches the
         # staging cost can exceed the dispatch savings (measured at 1M nodes /
         # 150 single-cluster batches: fused 155-226 s vs loop 84 s through the
-        # remote-chip tunnel).  Force with fused_epoch="on".
-        if cfg.fused_epoch == "auto" and len(batches) > 64:
+        # remote-chip tunnel).  Exception: single-cluster batches held in the
+        # loader's device cache are never restaged (stacking them is a
+        # device-side op), so fusion always pays there.  Force with
+        # fused_epoch="on".
+        device_resident = (
+            cfg.batch_size == 1 and self.train_loader.mode != "ns"
+            and self.train_loader._use_device_cache()
+        )
+        if (cfg.fused_epoch == "auto" and len(batches) > 64
+                and not device_resident):
             return False
         leaves = jax.tree_util.tree_leaves(batches[0].device)
         for hb in batches[1:]:
