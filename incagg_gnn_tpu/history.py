@@ -59,6 +59,27 @@ class HistoryState(NamedTuple):
         return self.emb.shape[2]
 
 
+#: cache dtypes by config name.  bf16 halves and fp8 quarters the HBM of the
+#: two [L, N+1, D] stacks vs f32; quantization error enters the VR rule
+#: exactly like staleness drift (corrected by A@(x - M_in)) and is re-zeroed
+#: at every refresh, so accuracy degrades gracefully (tests pin it).
+CACHE_DTYPES = {
+    "float32": jnp.float32,
+    "bfloat16": jnp.bfloat16,
+    "float8_e4m3": jnp.float8_e4m3fn,
+    "float8_e5m2": jnp.float8_e5m2,
+}
+
+
+def resolve_dtype(name: str):
+    """Map a config dtype string to the jnp dtype (hist_dtype / x_dtype)."""
+    if name not in CACHE_DTYPES:
+        raise ValueError(
+            f"unknown cache dtype {name!r}; one of {sorted(CACHE_DTYPES)}"
+        )
+    return CACHE_DTYPES[name]
+
+
 def init_history(
     num_layers: int, num_nodes: int, dim: int, dtype=jnp.float32
 ) -> HistoryState:

@@ -187,7 +187,9 @@ class ShardedVRTrainer:
         self.tm_tab = jax.device_put(row_tm, node_sh)
 
         # ---- sharded history ----
-        hist_dtype = jnp.bfloat16 if cfg.hist_dtype == "bfloat16" else jnp.float32
+        from incagg_gnn_tpu.history import resolve_dtype
+
+        hist_dtype = resolve_dtype(cfg.hist_dtype)
         L, D = model.cfg.num_layers, model.hist_dim
         hist_sh = NamedSharding(self.mesh, P(None, self.axis, None))
         self._hist_sh = hist_sh

@@ -54,7 +54,10 @@ class TrainerConfig:
     drift_norm: int = 2
     log_every: int = 1
     eval_batch_size: int = 1  # clusters per eval batch (conf.batch_size reuse)
-    hist_dtype: str = "float32"  # or "bfloat16" to halve cache HBM
+    # cache dtype: "bfloat16" halves, "float8_e4m3"/"float8_e5m2" quarter
+    # the cache HBM vs float32 (quantization error behaves like staleness
+    # drift — absorbed by the VR correction, re-zeroed each refresh)
+    hist_dtype: str = "float32"
     x_dtype: str = "float32"  # or "bfloat16": halves feature-gather traffic
     # (aggregations upcast to f32; layer math unchanged)
     metrics_path: Optional[str] = None  # JSONL metrics sink (SURVEY §5.5)
@@ -157,8 +160,9 @@ class Trainer:
             cfg.nonreg_weight_decay, cfg.grad_norm,
         )
         self.opt_state = self.tx.init(self.params)
-        hist_dtype = jnp.bfloat16 if cfg.hist_dtype == "bfloat16" else jnp.float32
-        self.hist = model.init_history(dtype=hist_dtype)
+        from incagg_gnn_tpu.history import resolve_dtype
+
+        self.hist = model.init_history(dtype=resolve_dtype(cfg.hist_dtype))
         x_dtype = jnp.bfloat16 if cfg.x_dtype == "bfloat16" else jnp.float32
         self.tables = make_tables(data, dtype=x_dtype)
         self.out_table = jnp.zeros(

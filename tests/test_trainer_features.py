@@ -233,3 +233,26 @@ class TestFusedEpoch:
                 rtol=1e-4, atol=1e-5)
         ev_f, ev_l = tr_f.evaluate(), tr_l.evaluate()
         assert abs(ev_f["test_acc"] - ev_l["test_acc"]) < 1e-6
+
+
+class TestFP8Caches:
+    def test_fp8_caches_learn(self, sbm_small):
+        """float8_e4m3 caches: quarter the HBM of f32; quantization error is
+        absorbed by the VR correction like staleness drift."""
+        data, in_c, out_c = sbm_small
+        from incagg_gnn_tpu.models import GCN, GCNConfig
+
+        cfg = GCNConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                        hidden_channels=32, out_channels=out_c, num_layers=2,
+                        dropout=0.1, drop_input=False)
+        tcfg = TrainerConfig(num_parts=8, batch_size=2, vr_update=True,
+                             epochs=8, lr=0.01, seed=0,
+                             hist_dtype="float8_e4m3")
+        res = Trainer(GCN(cfg), data, tcfg).fit()
+        assert res["best_test"] > 0.8, res
+
+    def test_unknown_dtype_rejected(self, sbm_small):
+        from incagg_gnn_tpu.history import resolve_dtype
+
+        with pytest.raises(ValueError):
+            resolve_dtype("int4")
