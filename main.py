@@ -14,10 +14,123 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import sys
 import time
 
 log = logging.getLogger("incagg_gnn_tpu")
+
+#: child exit code meaning "the device was lost mid-run" (TPU worker crash /
+#: restart, transfer watchdog timeout) — the one failure class the supervisor
+#: restarts from the latest checkpoint; every other failure propagates.
+DEVICE_LOSS_EXIT = 23
+
+_DEVICE_LOSS_MARKERS = (
+    "UNAVAILABLE",            # PJRT status of a dead/restarted worker
+    "DATA_LOSS",              # PJRT status of lost device buffers
+    "crashed or restarted",   # TPU worker crash message
+    "DeviceTimeoutError",     # our fail-fast transfer watchdog
+)
+
+
+def _is_device_loss(exc: BaseException) -> bool:
+    """Classify an exception as device loss (worker crash, lost buffers,
+    watchdog timeout) vs an ordinary program error.  The reference has no
+    failure detection at all (SURVEY §5.3 — CUDA memcpy errors are printed
+    and execution continues); here device loss is detected, surfaced with a
+    dedicated exit code, and — under ``--supervise`` — recovered from the
+    latest checkpoint."""
+    from incagg_gnn_tpu.utils.watchdog import DeviceTimeoutError
+
+    if isinstance(exc, DeviceTimeoutError):
+        return True
+    msg = f"{type(exc).__name__}: {exc}"
+    return any(m in msg for m in _DEVICE_LOSS_MARKERS)
+
+
+def _maybe_inject_fault(epoch: int, ckpt_dir):
+    """Fault-injection hook for testing the recovery path (the reference has
+    none, SURVEY §5.3).  ``INCAGG_FAULT_INJECT=epoch=K`` raises a synthetic
+    device-loss error the first time epoch K completes (one-shot via a marker
+    file in the checkpoint dir, so the supervised restart then runs clean);
+    ``INCAGG_FAULT_INJECT=always`` crashes at every epoch end — a permanent
+    failure that must exhaust the supervisor's retry budget."""
+    spec = os.environ.get("INCAGG_FAULT_INJECT")
+    if not spec:
+        return
+    if spec != "always":
+        if not ckpt_dir:
+            return
+        marker = os.path.join(ckpt_dir, ".fault_injected")
+        if epoch != int(spec.split("=", 1)[1]) or os.path.exists(marker):
+            return
+        with open(marker, "w"):
+            pass
+    raise RuntimeError(
+        "UNAVAILABLE: TPU worker process crashed or restarted "
+        "(injected by INCAGG_FAULT_INJECT)"
+    )
+
+
+def _supervise(raw_argv, retries: int, ckpt_dir: str) -> int:
+    """Elastic recovery (SURVEY §5.3): run the training CLI in a child
+    process; when the child dies of device loss (exit ``DEVICE_LOSS_EXIT``),
+    relaunch it — the child restores the newest checkpoint itself via
+    ``--checkpoint-dir``.  A fresh process is required because a JAX client
+    whose backend died cannot reinitialize in-process.
+
+    ``retries`` bounds consecutive restarts *without checkpoint progress*;
+    any restart that advanced the saved epoch resets the budget."""
+    import json
+    import subprocess
+
+    # strip --supervise[=N] so the child runs the plain training path
+    child_argv, skip = [], False
+    for a in raw_argv:
+        if skip:
+            skip = False
+            continue
+        if a == "--supervise":
+            skip = True
+            continue
+        if a.startswith("--supervise="):
+            continue
+        child_argv.append(a)
+
+    def ckpt_epoch() -> int:
+        try:
+            metas = sorted(f for f in os.listdir(ckpt_dir)
+                           if f.endswith(".meta.json"))
+            if not metas:
+                return -1
+            with open(os.path.join(ckpt_dir, metas[-1])) as f:
+                return int(json.load(f)["epoch"])
+        except Exception:
+            return -1
+
+    attempt, last_epoch = 0, ckpt_epoch()
+    while True:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), *child_argv]
+        )
+        if p.returncode != DEVICE_LOSS_EXIT:
+            return p.returncode
+        epoch = ckpt_epoch()
+        if epoch > last_epoch:
+            attempt, last_epoch = 0, epoch  # progress — reset the budget
+        attempt += 1
+        if attempt > retries:
+            log.error(
+                f"supervisor: device lost {attempt} times with no checkpoint "
+                f"progress past epoch {last_epoch}; giving up"
+            )
+            return DEVICE_LOSS_EXIT
+        delay = min(60.0, 5.0 * attempt)
+        log.warning(
+            f"supervisor: device loss (attempt {attempt}/{retries}); "
+            f"restarting from checkpoint epoch {last_epoch} in {delay:.0f}s"
+        )
+        time.sleep(delay)
 
 
 def build_model(run_cfg, data, in_c, out_c):
@@ -56,6 +169,12 @@ def main(argv=None):
                     help="repeat with seeds seed..seed+runs-1, report mean±std "
                          "(the reference README's accuracy-table protocol)")
     ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--supervise", type=int, default=0, metavar="N",
+                    help="elastic recovery: run training in a child process "
+                         "and, on device loss (TPU worker crash/restart, "
+                         "watchdog timeout), restart it from the latest "
+                         "checkpoint — up to N consecutive times without "
+                         "checkpoint progress (requires --checkpoint-dir)")
     ap.add_argument("--spill", action="store_true",
                     help="keep history caches in host DRAM streamed through "
                          "the C++ staging worker (SpillVRTrainer — the "
@@ -69,6 +188,24 @@ def main(argv=None):
                          "node order) to this .npy path")
     ap.add_argument("overrides", nargs="*", help="key=value overrides")
     args = ap.parse_args(argv)
+
+    # This environment's JAX build ignores the JAX_PLATFORMS env var (device
+    # plugins win platform selection); honor an explicit platform request via
+    # the config API before any backend init (used by tests / CPU dry runs).
+    plat = os.environ.get("INCAGG_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+
+    if args.supervise > 0:
+        if not args.checkpoint_dir:
+            ap.error("--supervise requires --checkpoint-dir")
+        raw = list(argv) if argv is not None else sys.argv[1:]
+        rc = _supervise(raw, args.supervise, args.checkpoint_dir)
+        if rc != 0:
+            sys.exit(rc)
+        return
 
     from incagg_gnn_tpu.graph.datasets import INDUCTIVE_DATASETS, get_data
     from incagg_gnn_tpu.train.config import load_config, parse_overrides
@@ -92,27 +229,36 @@ def main(argv=None):
         log.info(f"inductive eval graphs: val N={val_data.num_nodes} "
                  f"test N={test_data.num_nodes}")
 
-    if args.runs > 1:
-        import dataclasses as _dc
+    try:
+        if args.runs > 1:
+            import dataclasses as _dc
 
-        import numpy as _np
+            import numpy as _np
 
-        vals, tests = [], []
-        base_seed = run_cfg.trainer.seed
-        for r in range(args.runs):
-            run_cfg.trainer = _dc.replace(run_cfg.trainer, seed=base_seed + r)
-            v, t_acc = _run_once(args, run_cfg, data, in_c, out_c,
-                                 eval_graphs=eval_graphs)
-            vals.append(v)
-            tests.append(t_acc)
-            log.info(f"run {r}: val {v:.4f} test {t_acc:.4f}")
-        log.info(
-            f"{args.runs} runs — Val: {_np.mean(vals):.4f} ± {_np.std(vals):.4f}, "
-            f"Test: {_np.mean(tests):.4f} ± {_np.std(tests):.4f}"
-        )
-        return float(_np.mean(vals)), float(_np.mean(tests))
+            vals, tests = [], []
+            base_seed = run_cfg.trainer.seed
+            for r in range(args.runs):
+                run_cfg.trainer = _dc.replace(run_cfg.trainer, seed=base_seed + r)
+                v, t_acc = _run_once(args, run_cfg, data, in_c, out_c,
+                                     eval_graphs=eval_graphs)
+                vals.append(v)
+                tests.append(t_acc)
+                log.info(f"run {r}: val {v:.4f} test {t_acc:.4f}")
+            log.info(
+                f"{args.runs} runs — Val: {_np.mean(vals):.4f} ± {_np.std(vals):.4f}, "
+                f"Test: {_np.mean(tests):.4f} ± {_np.std(tests):.4f}"
+            )
+            return float(_np.mean(vals)), float(_np.mean(tests))
 
-    return _run_once(args, run_cfg, data, in_c, out_c, eval_graphs=eval_graphs)
+        return _run_once(args, run_cfg, data, in_c, out_c, eval_graphs=eval_graphs)
+    except Exception as e:
+        if _is_device_loss(e):
+            # fail fast with the dedicated exit code (SURVEY §5.3 — the
+            # reference logs CUDA errors and continues, a silent-corruption
+            # hazard); under --supervise this triggers a checkpoint restart
+            log.error(f"device loss: {type(e).__name__}: {e}")
+            sys.exit(DEVICE_LOSS_EXIT)
+        raise
 
 
 def _run_once(args, run_cfg, data, in_c, out_c, eval_graphs=None):
@@ -196,6 +342,7 @@ def _run_once(args, run_cfg, data, in_c, out_c, eval_graphs=None):
                 f"test {ev['test_acc']:.4f} final {best_test:.4f} "
                 f"[{time.perf_counter() - t:.1f}s]"
             )
+        _maybe_inject_fault(epoch, args.checkpoint_dir)
         if ckpt is not None:
             ckpt.save(trainer, epoch)
     log.info("=========================")

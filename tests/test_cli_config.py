@@ -109,6 +109,58 @@ class TestCLI:
         acc = float((pred[data.val_mask] == data.y[data.val_mask]).mean())
         assert abs(acc - val_ev) < 1e-6
 
+    def test_supervised_restart_after_device_loss(self, tmp_path):
+        """Elastic recovery (SURVEY §5.3, absent in the reference): a child
+        that dies of device loss mid-run is restarted by --supervise and
+        resumes from the latest checkpoint to completion."""
+        import subprocess
+        import sys
+
+        ck = str(tmp_path / "ck")
+        env = dict(os.environ, INCAGG_PLATFORM="cpu",
+                   INCAGG_FAULT_INJECT="epoch=1")
+        p = subprocess.run(
+            [sys.executable, os.path.join(REPO, "main.py"),
+             "--model", os.path.join(REPO, "conf/model/gcn.yaml"),
+             "--dataset", "sbm-small",
+             "--checkpoint-dir", ck, "--supervise", "2",
+             "epochs=3", "num_parts=4", "batch_size=2", "vr_update=true"],
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=900,
+        )
+        out = p.stdout + p.stderr
+        assert p.returncode == 0, out
+        # the injected crash happened (one-shot marker) ...
+        assert os.path.exists(os.path.join(ck, ".fault_injected")), out
+        assert "supervisor: device loss" in out, out
+        # ... and the restarted child resumed past it to the final epoch
+        assert "Epoch 0002" in out, out
+        # checkpoints advanced to the last epoch
+        metas = sorted(f for f in os.listdir(ck) if f.endswith(".meta.json"))
+        import json
+        with open(os.path.join(ck, metas[-1])) as f:
+            assert json.load(f)["epoch"] == 2
+
+    def test_supervise_gives_up_without_progress(self, tmp_path):
+        """A failure that repeats with no checkpoint progress exhausts the
+        retry budget and surfaces the device-loss exit code."""
+        import subprocess
+        import sys
+
+        ck = str(tmp_path / "ck")
+        env = dict(os.environ, INCAGG_PLATFORM="cpu",
+                   INCAGG_FAULT_INJECT="always")
+        p = subprocess.run(
+            [sys.executable, os.path.join(REPO, "main.py"),
+             "--model", os.path.join(REPO, "conf/model/gcn.yaml"),
+             "--dataset", "sbm-small",
+             "--checkpoint-dir", ck, "--supervise", "1",
+             "epochs=2", "num_parts=4", "batch_size=2"],
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=900,
+        )
+        out = p.stdout + p.stderr
+        assert p.returncode == 23, out
+        assert "giving up" in out, out
+
     def test_spill_flag(self):
         import main as cli
 
