@@ -17,6 +17,10 @@
 #include <random>
 #include <vector>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
@@ -74,9 +78,40 @@ int64_t relabel_one_hop_within_batch(const int64_t* rowptr, const int32_t* col,
                                      int64_t n, int64_t* node_map,
                                      int64_t* out_rowptr, int32_t* out_col,
                                      float* out_value) {
+#pragma omp parallel for schedule(static) if (num_idx > 4096)
   for (int64_t i = 0; i < num_idx; ++i) node_map[idx[i]] = i;
-  int64_t off = 0;
   out_rowptr[0] = 0;
+  if (num_idx > 4096) {
+    // two-pass parallel variant: per-row kept-edge counts, prefix sum, then
+    // an independent fill per row — identical output to the serial path
+    // (edges keep their CSR order within each row)
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < num_idx; ++i) {
+      const int64_t v = idx[i];
+      int64_t cnt = 0;
+      for (int64_t j = rowptr[v]; j < rowptr[v + 1]; ++j)
+        cnt += node_map[col[j]] >= 0;
+      out_rowptr[i + 1] = cnt;
+    }
+    for (int64_t i = 0; i < num_idx; ++i) out_rowptr[i + 1] += out_rowptr[i];
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < num_idx; ++i) {
+      const int64_t v = idx[i];
+      int64_t off = out_rowptr[i];
+      for (int64_t j = rowptr[v]; j < rowptr[v + 1]; ++j) {
+        const int64_t c = node_map[col[j]];
+        if (c >= 0) {
+          out_col[off] = (int32_t)c;
+          if (value) out_value[off] = value[j];
+          ++off;
+        }
+      }
+    }
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < num_idx; ++i) node_map[idx[i]] = -1;
+    return out_rowptr[num_idx];
+  }
+  int64_t off = 0;
   for (int64_t i = 0; i < num_idx; ++i) {
     const int64_t v = idx[i];
     for (int64_t j = rowptr[v]; j < rowptr[v + 1]; ++j) {
@@ -503,12 +538,6 @@ int64_t csr_to_ell_t(const int64_t* rowptr, const int32_t* col,
                                             // region (= padded_fwd_rows * k_fwd)
                      int64_t* t2f) {
   const int64_t nnz = rowptr[r];
-  std::vector<int64_t> deg(c, 0);
-  for (int64_t e = 0; e < nnz; ++e) ++deg[col[e]];
-  std::vector<int64_t> ovf_start(c + 1, 0);
-  for (int64_t j = 0; j < c; ++j)
-    ovf_start[j + 1] = ovf_start[j] + std::max<int64_t>(deg[j] - k, 0);
-  if (ovf_start[c] > ovf_cap) return -1;
   std::vector<int64_t> fwd_ovf_start;
   if (t2f) {
     fwd_ovf_start.resize(r + 1, 0);
@@ -516,6 +545,83 @@ int64_t csr_to_ell_t(const int64_t* rowptr, const int32_t* col,
       fwd_ovf_start[i + 1] = fwd_ovf_start[i] +
           std::max<int64_t>(rowptr[i + 1] - rowptr[i] - k_fwd, 0);
   }
+#ifdef _OPENMP
+  int T = nnz >= (int64_t)1 << 17 ? omp_get_max_threads() : 1;
+#else
+  int T = 1;
+#endif
+#ifdef _OPENMP
+  if (T > 1) {
+    // Chunked parallel counting sort, bit-identical to the serial placement:
+    // edges are ranked within their destination column in global edge order;
+    // row-contiguous chunks keep that order, so rank = (edges of this column
+    // in earlier chunks) + (in-chunk running count).
+    std::vector<int64_t> rb(T + 1, r);  // row-chunk bounds, ~equal edges
+    rb[0] = 0;
+    for (int t = 1; t < T; ++t) {
+      int64_t b = std::lower_bound(rowptr, rowptr + r + 1, nnz * t / T) -
+                  rowptr;
+      rb[t] = std::min(std::max(b, rb[t - 1]), r);
+    }
+    std::vector<int64_t> cnt((size_t)T * c, 0);
+#pragma omp parallel num_threads(T)
+    {
+      const int t = omp_get_thread_num();
+      int64_t* my = cnt.data() + (size_t)t * c;
+      for (int64_t e = rowptr[rb[t]]; e < rowptr[rb[t + 1]]; ++e) ++my[col[e]];
+    }
+    std::vector<int64_t> ovf_start(c + 1, 0);
+    for (int64_t j = 0; j < c; ++j) {
+      int64_t deg = 0, run = 0;
+      for (int t = 0; t < T; ++t) {  // exclusive scan: chunk base ranks
+        int64_t& s = cnt[(size_t)t * c + j];
+        const int64_t v = s;
+        s = run;
+        run += v;
+        deg += v;
+      }
+      ovf_start[j + 1] = ovf_start[j] + std::max<int64_t>(deg - k, 0);
+    }
+    if (ovf_start[c] > ovf_cap) return -1;
+#pragma omp parallel num_threads(T)
+    {
+      const int t = omp_get_thread_num();
+      int64_t* cursor = cnt.data() + (size_t)t * c;
+      for (int64_t i = rb[t]; i < rb[t + 1]; ++i) {
+        for (int64_t e = rowptr[i]; e < rowptr[i + 1]; ++e) {
+          const int64_t j = col[e];
+          const int64_t s = cursor[j]++;
+          const float v = value ? value[e] : 1.0f;
+          int64_t bwd_flat;
+          if (s < k) {
+            ell_cols[j * k + s] = (int32_t)i;
+            ell_vals[j * k + s] = v;
+            bwd_flat = j * k + s;
+          } else {
+            const int64_t p = ovf_start[j] + (s - k);
+            ovf_rows[p] = (int32_t)j;
+            ovf_cols[p] = (int32_t)i;
+            ovf_vals[p] = v;
+            bwd_flat = c * k + p;
+          }
+          if (t2f) {
+            const int64_t p_row = e - rowptr[i];
+            t2f[bwd_flat] = p_row < k_fwd
+                ? i * k_fwd + p_row
+                : fwd_ovf_base + fwd_ovf_start[i] + (p_row - k_fwd);
+          }
+        }
+      }
+    }
+    return ovf_start[c];
+  }
+#endif
+  std::vector<int64_t> deg(c, 0);
+  for (int64_t e = 0; e < nnz; ++e) ++deg[col[e]];
+  std::vector<int64_t> ovf_start(c + 1, 0);
+  for (int64_t j = 0; j < c; ++j)
+    ovf_start[j + 1] = ovf_start[j] + std::max<int64_t>(deg[j] - k, 0);
+  if (ovf_start[c] > ovf_cap) return -1;
   std::vector<int64_t>& cursor = deg;  // reuse as per-row slot cursor
   std::fill(cursor.begin(), cursor.end(), 0);
   for (int64_t i = 0; i < r; ++i) {
