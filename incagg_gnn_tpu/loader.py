@@ -69,6 +69,7 @@ class HostBatch:
     batch_size: int
     offset: np.ndarray  # [num_clusters_in_batch] int64
     count: np.ndarray
+    num_edges: int = 0  # true (unpadded) edge count, for throughput metrics
 
     @property
     def num_nodes(self) -> int:
@@ -247,7 +248,8 @@ class SubgraphLoader:
             batch_size=np.asarray(bs, dtype=np.int32),
             num_nodes=np.asarray(tot, dtype=np.int32),
         )
-        return HostBatch(device=device, n_id=n_id, batch_size=bs, offset=offs, count=cnts)
+        return HostBatch(device=device, n_id=n_id, batch_size=bs, offset=offs,
+                         count=cnts, num_edges=e)
 
     def _build_adj(self, rowptr, col, value, batch_size: int):
         """Build the device adjacency in the configured format, maintaining

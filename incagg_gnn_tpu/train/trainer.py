@@ -134,7 +134,19 @@ class Trainer:
         is_gat = model.__class__.__name__ == "GAT"
         needs_coo_train = cfg.edge_dropout > 0.0
         if cfg.adj_format == "auto":
-            train_fmt = "coo" if needs_coo_train else "hybrid"
+            # hybrid's scatter-free win is bandwidth-bound and needs batch
+            # rows in the tens of thousands; at tiny single-cluster batches
+            # it buys nothing AND the full hybrid train step was measured
+            # UNSTABLE on the v5e worker (intermittent worker crash at
+            # ~1.4K rows; the COO step ran 300+ dispatches clean, and the
+            # bare hybrid fwd+bwd kernel alone is also clean — see
+            # docs/RESULTS.md "train-step worker-crash bisection").  Gate
+            # hybrid by the largest expected train-batch row count; eval
+            # sweeps (forward-only hybrid) showed no instability.
+            sizes = np.sort(np.diff(ptr))
+            est_rows = int(sizes[-min(cfg.batch_size, len(sizes)):].sum())
+            train_fmt = ("coo" if needs_coo_train or est_rows < 4096
+                         else "hybrid")
             eval_fmt = "hybrid-fwd"
         else:
             train_fmt = eval_fmt = cfg.adj_format
@@ -281,6 +293,7 @@ class Trainer:
     def _refresh(self) -> np.ndarray:
         """Layer-wise cache refresh, optionally EMA-blended
         (update_period_hist_momentum, graphsage.py:963-976)."""
+        self._steps_since_refresh = 0
         mom = self.cfg.hist_momentum
         # the refresh donates the live cache buffers, so the EMA base must be
         # a copy, not an alias
@@ -386,8 +399,13 @@ class Trainer:
             self.hist = self.hist._replace(emb=emb)
         if self.cfg.device_timeout_s > 0:
             loss = self.watchdog.wait(loss, "fused epoch")
+        dt = time.perf_counter() - t0
+        self._steps_since_refresh = getattr(
+            self, "_steps_since_refresh", 0) + len(batches)
         out = {"loss": float(loss), "steps": len(batches), "drift": 0.0,
-               "epoch_s": time.perf_counter() - t0}
+               "epoch_s": dt,
+               "edges_per_s": sum(hb.num_edges for hb in batches) / max(dt, 1e-9),
+               "staleness_steps": self._steps_since_refresh}
         self.metrics.log("train_epoch", **out)
         return out
 
@@ -402,6 +420,7 @@ class Trainer:
 
     def _train_epoch_loop(self, prebuilt) -> Dict[str, float]:
         total_loss = total_n = total_drift = 0.0
+        total_edges = 0
         steps = drift_refreshes = 0
         t0 = time.perf_counter()
         # VR staleness knob: refresh caches every `period` steps inside the
@@ -438,7 +457,10 @@ class Trainer:
             total_n += n
             step_drift = float(metrics.get("drift", 0.0))
             total_drift += step_drift
+            total_edges += hb.num_edges
             steps += 1
+            self._steps_since_refresh = getattr(
+                self, "_steps_since_refresh", 0) + 1
             # adaptive staleness control: refresh the moment drift crosses
             # the threshold instead of on a blind schedule
             if (self.cfg.refresh_drift_threshold > 0.0
@@ -454,6 +476,12 @@ class Trainer:
             "drift": total_drift / max(steps, 1),
             "drift_refreshes": drift_refreshes,
             "epoch_s": dt,
+            # single-layer-equivalent aggregation throughput (true batch
+            # edges, not padded slots) — SURVEY §5.5 observability targets
+            "edges_per_s": total_edges / max(dt, 1e-9),
+            # staleness age: train steps absorbed since the last cache
+            # refresh (the VR approximation error grows with this)
+            "staleness_steps": getattr(self, "_steps_since_refresh", 0),
         }
         self.metrics.log("train_epoch", **out)
         return out
