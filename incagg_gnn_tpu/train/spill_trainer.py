@@ -21,6 +21,7 @@ fast path the loader's contiguity contract guarantees (history.py:60-65).
 from __future__ import annotations
 
 import functools
+import time
 from typing import Dict, List, Optional
 
 import jax
@@ -186,7 +187,8 @@ class SpillVRTrainer(Trainer):
         from incagg_gnn_tpu.utils.prefetch import prefetch
 
         total_loss = total_n = 0.0
-        steps = 0
+        total_edges = steps = 0
+        t0 = time.perf_counter()
 
         def staged():
             for hb in self.train_loader:
@@ -203,10 +205,16 @@ class SpillVRTrainer(Trainer):
             n = float(metrics["num_train"])
             total_loss += float(metrics["loss"]) * n
             total_n += n
+            total_edges += hb.num_edges
             steps += 1
+            self._steps_since_refresh = getattr(
+                self, "_steps_since_refresh", 0) + 1
             if steps >= self.max_steps:
                 break
-        return {"loss": total_loss / max(total_n, 1.0), "steps": steps}
+        dt = time.perf_counter() - t0
+        return {"loss": total_loss / max(total_n, 1.0), "steps": steps,
+                "epoch_s": dt, "edges_per_s": total_edges / max(dt, 1e-9),
+                "staleness_steps": getattr(self, "_steps_since_refresh", 0)}
 
     def _train_epoch_gas(self) -> Dict[str, float]:
         """GAS epoch over host tables: staged OB pulls in, chunked IB pushes
@@ -281,6 +289,7 @@ class SpillVRTrainer(Trainer):
         return fn
 
     def _refresh(self) -> np.ndarray:
+        self._steps_since_refresh = 0
         model = self.model
         L, D = model.cfg.num_layers, model.hist_dim
         n = self.data.num_nodes
