@@ -203,9 +203,14 @@ class Trainer:
                 for a in jax.tree_util.tree_leaves(
                     (self.hist, self.tables, self.out_table))
             )
-            self.eval_loader.hbm_budget = max(
-                int(limit * 0.85) - used, 200_000_000
-            )
+            headroom = max(int(limit * 0.85) - used, 400_000_000)
+            # split the headroom between the two batch caches (they coexist
+            # in HBM): eval stacks are the bigger win (restaged once per
+            # LAYER when streaming) but single-cluster train batches are
+            # restaged once per EPOCH — both dominate wall clock on slow
+            # host<->device links (docs/RESULTS.md products-scale analysis)
+            self.eval_loader.hbm_budget = int(headroom * 0.6)
+            self.train_loader.hbm_budget = int(headroom * 0.4)
         if mesh is not None:
             # node-row sharding of all [N+1, ...] state; GSPMD handles the
             # cross-shard pulls/pushes in the jitted steps.  Row counts are
