@@ -27,6 +27,7 @@ are literally the same functions.
 from __future__ import annotations
 
 import dataclasses
+import time
 from typing import Dict, List, NamedTuple, Optional
 
 import jax
@@ -276,14 +277,19 @@ class ShardedVRTrainer:
             fmt_args = {**fmt_args, "with_perm": True}
 
         stacks = []
+        self._train_round_edges = []
         for i in range(rounds):
             per_round = []
+            edges = 0
             for d in range(self.n_dev):
                 b = raw[d][i % len(raw[d])] if raw[d] else None
+                if b is not None:
+                    edges += len(b.adj_args[1])
                 per_round.append(
                     self._pack(b, r_pad, r_pad, e_pad, trash,
                                fmt="bi" if fmt_args else "coo", fmt_args=fmt_args)
                 )
+            self._train_round_edges.append(edges)
             stacks.append(jax.tree.map(lambda *xs: np.stack(xs), *per_round))
         self._train_stacks = [
             jax.device_put(
@@ -705,6 +711,7 @@ class ShardedVRTrainer:
 
     # ------------------------------------------------------------------
     def refresh(self) -> np.ndarray:
+        self._steps_since_refresh = 0
         if getattr(self, "_eval_rounds_stacked", None) is None:
             self._stack_eval_rounds()
         for layer in range(self.model.cfg.num_layers):
@@ -739,6 +746,7 @@ class ShardedVRTrainer:
             return self._train_epoch_gas()
         # fused path: scan over rounds in one jit when no max_steps cap
         if not (0 < self.cfg.max_steps < self._train_rounds):
+            t0 = time.perf_counter()
             if getattr(self, "_fused_epoch_fn", None) is None:
                 self._fused_epoch_fn = self._make_fused_epoch(self._train_rounds)
                 # stack the round list once: leaves [n_dev, R, ...]
@@ -750,10 +758,19 @@ class ShardedVRTrainer:
                     self.params, self.opt_state, self.state, self.hist,
                     self._train_rounds_stacked, self.x_tab, self.y_tab,
                     self.tm_tab, key))
-            return {"loss": float(loss), "steps": self._train_rounds}
+            loss = float(loss)
+            dt = time.perf_counter() - t0
+            self._steps_since_refresh = getattr(
+                self, "_steps_since_refresh", 0) + self._train_rounds
+            return {"loss": loss, "steps": self._train_rounds, "epoch_s": dt,
+                    "edges_per_s": sum(
+                        getattr(self, "_train_round_edges", [])) / max(dt, 1e-9),
+                    "staleness_steps": self._steps_since_refresh}
         if self._step_fn is None:
             self._step_fn = self._make_step()
         total_loss = total_n = 0.0
+        total_edges = 0
+        t0 = time.perf_counter()
         steps = 0
         # shuffle round order per epoch (cluster composition is static; the
         # reference shuffles batch order each epoch, main.py:158)
@@ -761,17 +778,23 @@ class ShardedVRTrainer:
             (self.cfg.seed, getattr(self, "_epoch", 0))
         ).permutation(len(self._train_stacks))
         self._epoch = getattr(self, "_epoch", 0) + 1
-        for stack in (self._train_stacks[i] for i in order):
+        for i in order:
             self.rng, key = jax.random.split(self.rng)
             (self.params, self.opt_state, self.state, loss, n) = self._step_fn(
-                self.params, self.opt_state, self.state, self.hist, stack,
-                self.x_tab, self.y_tab, self.tm_tab, key)
+                self.params, self.opt_state, self.state, self.hist,
+                self._train_stacks[i], self.x_tab, self.y_tab, self.tm_tab, key)
             total_loss += float(loss) * float(n)
             total_n += float(n)
+            total_edges += getattr(self, "_train_round_edges", [0] * (i + 1))[i]
             steps += 1
+            self._steps_since_refresh = getattr(
+                self, "_steps_since_refresh", 0) + 1
             if steps >= self.cfg.max_steps > 0:
                 break
-        return {"loss": total_loss / max(total_n, 1.0), "steps": steps}
+        dt = time.perf_counter() - t0
+        return {"loss": total_loss / max(total_n, 1.0), "steps": steps,
+                "epoch_s": dt, "edges_per_s": total_edges / max(dt, 1e-9),
+                "staleness_steps": getattr(self, "_steps_since_refresh", 0)}
 
     def _train_epoch_gas(self) -> Dict[str, float]:
         if self._gas_step_fn is None:
