@@ -800,6 +800,7 @@ class ShardedVRTrainer:
         if self._gas_step_fn is None:
             self._gas_step_fn = self._make_gas_step()
         total_loss = total_n = 0.0
+        t0 = time.perf_counter()
         steps = 0
         order = np.random.default_rng(
             (self.cfg.seed, getattr(self, "_epoch", 0))
@@ -817,7 +818,8 @@ class ShardedVRTrainer:
             steps += 1
             if steps >= self.cfg.max_steps > 0:
                 break
-        return {"loss": total_loss / max(total_n, 1.0), "steps": steps}
+        return {"loss": total_loss / max(total_n, 1.0), "steps": steps,
+                "epoch_s": time.perf_counter() - t0}
 
     def evaluate(self) -> Dict[str, float]:
         return self.metrics_from_logits(self.refresh())
