@@ -546,7 +546,11 @@ int64_t csr_to_ell_t(const int64_t* rowptr, const int32_t* col,
           std::max<int64_t>(rowptr[i + 1] - rowptr[i] - k_fwd, 0);
   }
 #ifdef _OPENMP
-  int T = nnz >= (int64_t)1 << 17 ? omp_get_max_threads() : 1;
+  // cap the team by the work so the O(T*c) count matrix and its serial scan
+  // stay proportional to the counting they parallelize
+  int T = nnz >= (int64_t)1 << 17
+              ? (int)std::min<int64_t>(omp_get_max_threads(), nnz >> 16)
+              : 1;
 #else
   int T = 1;
 #endif
@@ -564,9 +568,10 @@ int64_t csr_to_ell_t(const int64_t* rowptr, const int32_t* col,
       rb[t] = std::min(std::max(b, rb[t - 1]), r);
     }
     std::vector<int64_t> cnt((size_t)T * c, 0);
-#pragma omp parallel num_threads(T)
-    {
-      const int t = omp_get_thread_num();
+    // worksharing over chunk ids (not omp_get_thread_num()): correct even
+    // when the runtime grants a smaller team than requested
+#pragma omp parallel for num_threads(T) schedule(static, 1)
+    for (int t = 0; t < T; ++t) {
       int64_t* my = cnt.data() + (size_t)t * c;
       for (int64_t e = rowptr[rb[t]]; e < rowptr[rb[t + 1]]; ++e) ++my[col[e]];
     }
@@ -583,9 +588,8 @@ int64_t csr_to_ell_t(const int64_t* rowptr, const int32_t* col,
       ovf_start[j + 1] = ovf_start[j] + std::max<int64_t>(deg - k, 0);
     }
     if (ovf_start[c] > ovf_cap) return -1;
-#pragma omp parallel num_threads(T)
-    {
-      const int t = omp_get_thread_num();
+#pragma omp parallel for num_threads(T) schedule(static, 1)
+    for (int t = 0; t < T; ++t) {
       int64_t* cursor = cnt.data() + (size_t)t * c;
       for (int64_t i = rb[t]; i < rb[t + 1]; ++i) {
         for (int64_t e = rowptr[i]; e < rowptr[i + 1]; ++e) {

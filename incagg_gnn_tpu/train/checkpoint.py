@@ -42,9 +42,13 @@ def save_pytree(path: str, tree, meta: Optional[dict] = None):
     tmp = path + ".tmp"
     np.savez(tmp, **{f"leaf_{i}": l for i, l in enumerate(leaves)})
     os.replace(tmp + ".npz" if not tmp.endswith(".npz") else tmp, path)
-    with open(path + ".meta.json", "w") as f:
+    # meta write must be atomic too: the supervisor's progress check and
+    # maybe_restore both read the newest meta, possibly right after a crash
+    mtmp = path + ".meta.json.tmp"
+    with open(mtmp, "w") as f:
         json.dump({"treedef": treedef, "num_leaves": len(leaves),
                    **(meta or {})}, f)
+    os.replace(mtmp, path + ".meta.json")
 
 
 def load_pytree(path: str, like):
@@ -88,9 +92,13 @@ class CheckpointManager:
         self.keep = keep
         os.makedirs(directory, exist_ok=True)
 
-    def save(self, trainer, epoch: int):
+    def save(self, trainer, epoch: int, extra: Optional[dict] = None):
+        """``extra``: JSON-serializable scalars stored in the meta sidecar
+        (e.g. best val/test so a supervised restart reports final metrics
+        over the WHOLE run, not just post-crash epochs)."""
         path = os.path.join(self.dir, f"ckpt_{epoch:06d}.npz")
-        save_pytree(path, trainer.checkpoint_state(), meta={"epoch": epoch})
+        save_pytree(path, trainer.checkpoint_state(),
+                    meta={"epoch": epoch, **(extra or {})})
         self._gc()
 
     def latest(self) -> Optional[str]:
@@ -119,7 +127,8 @@ class CheckpointManager:
             try:
                 restored = load_pytree(path, trainer.checkpoint_state())
                 with open(path + ".meta.json") as f:
-                    epoch = json.load(f)["epoch"]
+                    meta = json.load(f)
+                epoch = meta["epoch"]
             except ValueError:
                 raise  # architecture/config mismatch — see load_pytree
             except Exception as e:  # truncated zip, missing meta, bad keys
@@ -132,6 +141,7 @@ class CheckpointManager:
                 continue
             trainer.restore_checkpoint(restored)
             trainer.epoch = epoch + 1
+            trainer.restored_meta = meta  # extra scalars (e.g. best acc)
             return True
         return False
 

@@ -208,9 +208,17 @@ class Trainer:
             # in HBM): eval stacks are the bigger win (restaged once per
             # LAYER when streaming) but single-cluster train batches are
             # restaged once per EPOCH — both dominate wall clock on slow
-            # host<->device links (docs/RESULTS.md products-scale analysis)
-            self.eval_loader.hbm_budget = int(headroom * 0.6)
-            self.train_loader.hbm_budget = int(headroom * 0.4)
+            # host<->device links (docs/RESULTS.md products-scale analysis).
+            # Train batches are only cacheable for single-cluster non-NS
+            # loaders (loader.__iter__); otherwise eval keeps it all.
+            train_cacheable = (
+                cfg.batch_size == 1 and self.train_loader.mode != "ns"
+            )
+            if train_cacheable:
+                self.eval_loader.hbm_budget = int(headroom * 0.6)
+                self.train_loader.hbm_budget = int(headroom * 0.4)
+            else:
+                self.eval_loader.hbm_budget = headroom
         if mesh is not None:
             # node-row sharding of all [N+1, ...] state; GSPMD handles the
             # cross-shard pulls/pushes in the jitted steps.  Row counts are

@@ -98,15 +98,21 @@ def _supervise(raw_argv, retries: int, ckpt_dir: str) -> int:
         child_argv.append(a)
 
     def ckpt_epoch() -> int:
+        # fall back over older metas (mirrors maybe_restore): a crash can
+        # land exactly mid-save, and misreading progress as none would burn
+        # the retry budget of a run that is in fact advancing
         try:
-            metas = sorted(f for f in os.listdir(ckpt_dir)
-                           if f.endswith(".meta.json"))
-            if not metas:
-                return -1
-            with open(os.path.join(ckpt_dir, metas[-1])) as f:
-                return int(json.load(f)["epoch"])
+            metas = sorted((f for f in os.listdir(ckpt_dir)
+                            if f.endswith(".meta.json")), reverse=True)
         except Exception:
             return -1
+        for name in metas:
+            try:
+                with open(os.path.join(ckpt_dir, name)) as f:
+                    return int(json.load(f)["epoch"])
+            except Exception:
+                continue
+        return -1
 
     attempt, last_epoch = 0, ckpt_epoch()
     while True:
@@ -154,7 +160,10 @@ def build_model(run_cfg, data, in_c, out_c):
 
 def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(message)s")
-    ap = argparse.ArgumentParser()
+    # no prefix abbreviation: the supervisor strips the literal "--supervise"
+    # from the child argv; an abbreviated spelling would survive the strip
+    # and recurse
+    ap = argparse.ArgumentParser(allow_abbrev=False)
     ap.add_argument("--model", required=True, help="path to a conf/model YAML")
     ap.add_argument("--dataset", required=True)
     ap.add_argument("--root", default="/tmp/datasets")
@@ -327,7 +336,11 @@ def _run_once(args, run_cfg, data, in_c, out_c, eval_graphs=None):
             log.info(f"logits saved to {args.save_logits}")
         return ev["val_acc"], ev["test_acc"]
 
-    best_val = best_test = 0.0
+    # resume the best-so-far metrics from the checkpoint meta so a
+    # supervised restart reports finals over the WHOLE run
+    meta = getattr(trainer, "restored_meta", {}) or {}
+    best_val = float(meta.get("best_val", 0.0))
+    best_test = float(meta.get("best_test", 0.0))
     start_epoch = getattr(trainer, "epoch", 0)
     for epoch in range(start_epoch, run_cfg.trainer.epochs):
         t = time.perf_counter()
@@ -344,7 +357,8 @@ def _run_once(args, run_cfg, data, in_c, out_c, eval_graphs=None):
             )
         _maybe_inject_fault(epoch, args.checkpoint_dir)
         if ckpt is not None:
-            ckpt.save(trainer, epoch)
+            ckpt.save(trainer, epoch,
+                      extra={"best_val": best_val, "best_test": best_test})
     log.info("=========================")
     log.info(f"Val: {best_val:.4f}, Test: {best_test:.4f}")
     return best_val, best_test
