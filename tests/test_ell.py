@@ -76,3 +76,41 @@ class TestHybrid:
         coo = build_padded_adj(rowptr, col, val, 64, 128, 1024)
         x = jnp.asarray(rng.random((128, 4)).astype(np.float32))
         assert np.allclose(spmm_hybrid(hyb, x), spmm(coo, x), atol=1e-4)
+
+
+class TestParallelTransposeELL:
+    """The C++ transpose-ELL build switches to a chunked parallel counting
+    sort at >=2^17 edges; its placement (including t2f) must be bit-identical
+    to the numpy oracle path."""
+
+    def test_large_graph_native_vs_oracle(self, monkeypatch):
+        from incagg_gnn_tpu.ops import ell as ell_mod
+        from incagg_gnn_tpu.utils import native as native_mod
+
+        rng = np.random.default_rng(7)
+        r = c = 20_000
+        nnz = 400_000  # well past the 131072 parallel threshold
+        row = rng.integers(0, r, nnz)
+        row[: nnz // 10] = 13  # heavy-tail row -> forward+transpose overflow
+        col = rng.integers(0, c, nnz)
+        col[: nnz // 12] = 4_242  # heavy-tail column -> transpose overflow
+        val = rng.random(nnz).astype(np.float32)
+        g = CSRGraph.from_coo(row, col, r, val, coalesce=True)
+        r_pad = c_pad = 20_096
+        kwargs = dict(k=16, k_t=16, ovf_pad=65_536, ovf_pad_t=65_536,
+                      with_perm=True)
+
+        got = ell_mod.build_bi_hybrid_adj(
+            g.rowptr, g.col, g.value, r_pad, c_pad, **kwargs)
+
+        monkeypatch.setattr(native_mod, "get_native_lib", lambda: None)
+        want = ell_mod.build_bi_hybrid_adj(
+            g.rowptr, g.col, g.value, r_pad, c_pad, **kwargs)
+
+        for name in ("ell_cols", "ell_vals", "ovf_rows", "ovf_cols",
+                     "ovf_vals", "deg"):
+            a, b = getattr(got.bwd, name), getattr(want.bwd, name)
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=f"bwd.{name}")
+        np.testing.assert_array_equal(
+            np.asarray(got.t2f), np.asarray(want.t2f), err_msg="t2f")
