@@ -189,11 +189,47 @@ def build_hybrid_adj(
     )
 
 
+import os
+
+# XLA materializes the gathered [R, K, D] ELL tensor in HBM.  At small-graph
+# scale that is the fastest formulation (docs/RESULTS.md), but at e.g. reddit
+# scale (R=233K, K=53, D=602 f32 -> 31.6 GB) it OOMs the 16 GB chip.  Above
+# this budget the ELL rows are processed in lax.map chunks (measured ~10%
+# slower per RESULTS.md "lax.map row-block tiling" — only paid at shapes that
+# could not run at all otherwise).
+_ELL_BUDGET_BYTES = int(os.environ.get("INCAGG_ELL_BUDGET_MB", "2048")) << 20
+
+
+def _ell_sum(ell_cols: jnp.ndarray, ell_vals: jnp.ndarray,
+             x: jnp.ndarray) -> jnp.ndarray:
+    """(x[ell_cols] * ell_vals).sum(axis=1), row-chunked under a memory
+    budget so the materialized gather stays bounded."""
+    r, k = ell_cols.shape
+    d = x.shape[1]
+    need = r * k * d * x.dtype.itemsize
+    if need <= _ELL_BUDGET_BYTES:
+        g = jnp.take(x, ell_cols.reshape(-1), axis=0)
+        g = g.reshape(r, k, d)
+        return (g * ell_vals[..., None]).sum(axis=1)
+    n_chunks = -(-need // _ELL_BUDGET_BYTES)
+    rc = -(-r // n_chunks)
+    rc = -(-rc // 8) * 8
+    n_chunks = -(-r // rc)
+    pad = n_chunks * rc - r
+    # padding rows: col 0 with value 0 contribute nothing and are sliced off
+    cols = jnp.pad(ell_cols, ((0, pad), (0, 0)))
+    vals = jnp.pad(ell_vals, ((0, pad), (0, 0)))
+    out = jax.lax.map(
+        lambda cv: (jnp.take(x, cv[0].reshape(-1), axis=0)
+                    .reshape(rc, k, d) * cv[1][..., None]).sum(axis=1),
+        (cols.reshape(n_chunks, rc, k), vals.reshape(n_chunks, rc, k)),
+    )
+    return out.reshape(n_chunks * rc, d)[:r]
+
+
 def spmm_hybrid(adj: HybridAdj, x: jnp.ndarray) -> jnp.ndarray:
     """Weighted-sum aggregation, scatter-free on the ELL core."""
-    g = jnp.take(x, adj.ell_cols.reshape(-1), axis=0)
-    g = g.reshape(adj.ell_cols.shape + (x.shape[1],))
-    out = (g * adj.ell_vals[..., None]).sum(axis=1)
+    out = _ell_sum(adj.ell_cols, adj.ell_vals, x)
     if adj.ovf_rows.shape[0] > 0:
         go = jnp.take(x, adj.ovf_cols, axis=0) * adj.ovf_vals[:, None]
         out = out + jax.ops.segment_sum(
@@ -395,12 +431,37 @@ def spmm_hybrid_mean(adj: HybridAdj, x: jnp.ndarray) -> jnp.ndarray:
     return spmm_hybrid(adj, x) / jnp.maximum(adj.deg, 1.0)[:, None]
 
 
+def _ell_max(ell_cols: jnp.ndarray, ell_vals: jnp.ndarray,
+             x: jnp.ndarray) -> jnp.ndarray:
+    """Masked row-max over ELL slots, chunked like ``_ell_sum``."""
+    r, k = ell_cols.shape
+    d = x.shape[1]
+    neg = jnp.finfo(x.dtype).min
+
+    def dense(cols, vals, rr):
+        g = jnp.take(x, cols.reshape(-1), axis=0).reshape(rr, k, d)
+        return jnp.where((vals != 0)[..., None], g, neg).max(axis=1)
+
+    need = r * k * d * x.dtype.itemsize
+    if need <= _ELL_BUDGET_BYTES:
+        return dense(ell_cols, ell_vals, r)
+    n_chunks = -(-need // _ELL_BUDGET_BYTES)
+    rc = -(-r // n_chunks)
+    rc = -(-rc // 8) * 8
+    n_chunks = -(-r // rc)
+    pad = n_chunks * rc - r
+    cols = jnp.pad(ell_cols, ((0, pad), (0, 0)))
+    vals = jnp.pad(ell_vals, ((0, pad), (0, 0)))
+    out = jax.lax.map(
+        lambda cv: dense(cv[0], cv[1], rc),
+        (cols.reshape(n_chunks, rc, k), vals.reshape(n_chunks, rc, k)),
+    )
+    return out.reshape(n_chunks * rc, d)[:r]
+
+
 def spmm_hybrid_max(adj: HybridAdj, x: jnp.ndarray) -> jnp.ndarray:
     neg = jnp.finfo(x.dtype).min
-    g = jnp.take(x, adj.ell_cols.reshape(-1), axis=0)
-    g = g.reshape(adj.ell_cols.shape + (x.shape[1],))
-    g = jnp.where((adj.ell_vals != 0)[..., None], g, neg)
-    out = g.max(axis=1)
+    out = _ell_max(adj.ell_cols, adj.ell_vals, x)
     if adj.ovf_rows.shape[0] > 0:
         go = jnp.take(x, adj.ovf_cols, axis=0)
         go = jnp.where((adj.ovf_vals != 0)[:, None], go, neg)

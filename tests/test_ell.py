@@ -114,3 +114,38 @@ class TestParallelTransposeELL:
                 np.asarray(a), np.asarray(b), err_msg=f"bwd.{name}")
         np.testing.assert_array_equal(
             np.asarray(got.t2f), np.asarray(want.t2f), err_msg="t2f")
+
+
+class TestChunkedELL:
+    """Row-chunked ELL aggregation (memory-budgeted lax.map path) must match
+    the single-gather path exactly (reddit-scale [R,K,D] would OOM whole)."""
+
+    def test_sum_and_max_chunked_match(self, rng, monkeypatch):
+        from incagg_gnn_tpu.ops import ell as ell_mod
+
+        rowptr, col, val, r, c = random_csr(rng, r=300, c=350, nnz=3000)
+        hyb = build_hybrid_adj(rowptr, col, val, 320, 384, k=8)
+        x = jnp.asarray(rng.standard_normal((384, 16)).astype(np.float32))
+        want_sum = np.asarray(spmm_hybrid(hyb, x))
+        want_max = np.asarray(spmm_hybrid_max(hyb, x))
+
+        # force ~5 chunks (need = 320*8*16*4 = 160KB)
+        monkeypatch.setattr(ell_mod, "_ELL_BUDGET_BYTES", 32 << 10)
+        got_sum = np.asarray(spmm_hybrid(hyb, x))
+        got_max = np.asarray(spmm_hybrid_max(hyb, x))
+        assert np.allclose(want_sum, got_sum, atol=1e-5)
+        np.testing.assert_array_equal(want_max, got_max)
+
+    def test_chunked_rows_not_multiple_of_chunk(self, rng, monkeypatch):
+        from incagg_gnn_tpu.ops import ell as ell_mod
+
+        # r_pad deliberately NOT a multiple of the chunk size the budget
+        # implies -> exercises the padding/slice tail
+        rowptr, col, val, r, c = random_csr(rng, r=100, c=120, nnz=900)
+        hyb = build_hybrid_adj(rowptr, col, val, 104, 128, k=8)
+        x = jnp.asarray(rng.standard_normal((128, 8)).astype(np.float32))
+        want = np.asarray(spmm_hybrid(hyb, x))
+        monkeypatch.setattr(ell_mod, "_ELL_BUDGET_BYTES", 8 << 10)
+        got = np.asarray(spmm_hybrid(hyb, x))
+        assert got.shape == want.shape
+        assert np.allclose(want, got, atol=1e-5)
