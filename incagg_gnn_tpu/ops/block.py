@@ -1,0 +1,285 @@
+"""Block-dense (MXU) aggregation tier: dense 128x128 adjacency tiles + the
+hybrid ELL/COO remainder.
+
+After partition+permute (the production pipeline, reference metis.py:43-63),
+intra-cluster edges concentrate in dense 128x128 blocks of the adjacency.
+Where a block holds enough edges, materializing it as a dense tile and
+running it through the MXU beats the gather engine — the ELL path costs a
+constant ~5.5-8 ns per edge slot (issue-rate bound, docs/RESULTS.md), while
+a dense tile costs one DMA + one [128,128]@[128,D] matmul regardless of how
+many edges it holds (~110 ns bf16 / ~230 ns f32 at D=256, measured v5e).
+
+Break-even is ~20 edges/block (bf16) / ~40 (f32).  That is only reached on
+high-degree graphs (products/reddit shapes: measured 1.5-1.6x end-to-end
+SpMM at deg 50; the deg-14 arxiv shape measures 0.96x — worse), and the
+dense tiles inflate adjacency bytes ~30-200x, so the tier only pays when
+the format is device-resident and reused (refresh sweeps with the loader's
+device cache).  Both gates live in :func:`plan_block_tier` — callers build
+the tier only when the measured block-count histogram says it wins.
+
+The kernel is a scalar-prefetch Pallas grid over dense tiles, LANES tiles
+per step (amortizes per-step overhead ~4x, measured 287 -> 108 ns/block),
+with the output row-tile accumulated in VMEM across consecutive steps of
+the same row-block (grid sorted row-major).  No in-kernel dynamic gather is
+needed — the "gather" is the x-tile BlockSpec index_map reading the
+prefetched block-column ids, which Mosaic supports natively (unlike element
+gathers, which it rejects; docs/RESULTS.md "Pallas gather re-probe").
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from incagg_gnn_tpu.ops.ell import HybridAdj, build_hybrid_adj, choose_k, spmm_hybrid
+
+B = 128  # tile edge (MXU native)
+LANES = 4  # dense tiles per grid step
+
+# v5e cost-model constants (docs/RESULTS.md measurements)
+_HBM_GBPS = 819.0
+_C_SLOT_NS = {4: 5.7, 2: 5.3}  # ELL per-slot cost by x itemsize
+_COO_RATIO = 3.0  # overflow edge ~3x an ELL slot
+
+
+class BlockDense(NamedTuple):
+    """Flat row-major dense-tile list, padded so every grid step's LANES
+    tiles share one row-block (``brow_step``) and every row-block appears in
+    at least one step (fillers are zero tiles -> contribute nothing)."""
+
+    a: jnp.ndarray  # [NB_pad, B, B] tile values (0 = no edge / filler)
+    brow_step: jnp.ndarray  # [S] int32 row-block id per grid step
+    bcols: jnp.ndarray  # [LANES, S] int32 col-block id per step lane
+
+
+class BlockHybridAdj(NamedTuple):
+    """Dense tier + hybrid remainder.  Forward-only (refresh/eval sweeps):
+    the Pallas kernel defines no VJP — training keeps BiHybridAdj."""
+
+    dense: BlockDense
+    rem: HybridAdj  # remainder edges, same [R_pad x C_pad] index space
+    deg: jnp.ndarray  # [R_pad] float32 FULL true degrees (rem.deg is partial)
+
+    @property
+    def num_rows(self) -> int:
+        return self.rem.num_rows
+
+    def binarized(self) -> "BlockHybridAdj":
+        return self._replace(
+            dense=self.dense._replace(
+                a=(self.dense.a != 0).astype(self.dense.a.dtype)),
+            rem=self.rem.binarized(),
+        )
+
+
+def _cost_ns(counts: np.ndarray, num_rows: int, num_edges: int,
+             thresh: int, deg: np.ndarray, x_itemsize: int, a_itemsize: int,
+             d_hint: int) -> Tuple[float, float, int]:
+    """(est. hybrid-only ns, est. block+remainder ns, dense edge count)."""
+    c_slot = _C_SLOT_NS.get(x_itemsize, 5.7)
+
+    def hyb_cost(degs, e):
+        if e == 0:
+            return 0.0
+        k = choose_k(degs)
+        ovf = int(np.maximum(degs - k, 0).sum())
+        return (degs.size * k + _COO_RATIO * ovf) * c_slot
+
+    base = hyb_cost(deg, num_edges)
+    dense_mask = counts >= thresh
+    nb = int(dense_mask.sum())
+    e_dense = int(counts[dense_mask].sum())
+    c_blk = (B * B * a_itemsize + B * d_hint * x_itemsize) / _HBM_GBPS
+    # remainder rows keep their row count; degrees shrink by the dense edges.
+    # Approximate the remainder degree distribution by uniform shrink (exact
+    # per-row recount needs the edge->block map; this errs conservative).
+    if num_edges > 0 and e_dense > 0:
+        rem_deg = np.floor(deg * (1.0 - e_dense / num_edges)).astype(np.int64)
+    else:
+        rem_deg = deg
+    tiered = nb * c_blk + hyb_cost(rem_deg, num_edges - e_dense)
+    return base, tiered, e_dense
+
+
+def plan_block_tier(
+    rowptr: np.ndarray,
+    col: np.ndarray,
+    num_rows_pad: int,
+    num_cols_pad: int,
+    x_itemsize: int = 4,
+    a_itemsize: Optional[int] = None,
+    d_hint: int = 256,
+    min_gain: float = 0.08,
+) -> Optional[int]:
+    """Decide whether the dense tier pays for this (sub)graph.
+
+    Returns the per-block edge threshold to use, or None when the cost model
+    says the pure hybrid path is within ``min_gain`` of the tiered one (the
+    tier's ~30-200x adjacency-byte inflation is not worth a marginal win).
+    """
+    r = int(rowptr.shape[0] - 1)
+    if col.size == 0 or r == 0:
+        return None
+    a_itemsize = x_itemsize if a_itemsize is None else a_itemsize
+    deg = np.diff(rowptr).astype(np.int64)
+    row = np.repeat(np.arange(r, dtype=np.int64), deg)
+    ncb = num_cols_pad // B
+    key = (row // B) * ncb + col.astype(np.int64) // B
+    counts = np.unique(key, return_counts=True)[1]
+    c_slot = _C_SLOT_NS.get(x_itemsize, 5.7)
+    c_blk = (B * B * a_itemsize + B * d_hint * x_itemsize) / _HBM_GBPS
+    # marginal break-even, then verify globally (k / overflow interactions)
+    thresh = max(8, int(np.ceil(c_blk / c_slot)))
+    base, tiered, e_dense = _cost_ns(
+        counts, r, int(col.size), thresh, deg, x_itemsize, a_itemsize, d_hint)
+    if e_dense == 0 or tiered > base * (1.0 - min_gain):
+        return None
+    return thresh
+
+
+def build_block_hybrid(
+    rowptr: np.ndarray,
+    col: np.ndarray,
+    value: Optional[np.ndarray],
+    num_rows_pad: int,
+    num_cols_pad: int,
+    thresh: int,
+    a_dtype=np.float32,
+    k: Optional[int] = None,
+    ovf_pad: Optional[int] = None,
+    nb_pad: Optional[int] = None,
+    trash_col: Optional[int] = None,
+) -> BlockHybridAdj:
+    """Host-side conversion CSR -> dense tiles + hybrid remainder.
+
+    ``nb_pad`` (total padded tile count, multiple of LANES) lets a loader
+    keep static shapes across batches; extra tiles are appended as zero
+    fillers on the last row-block.
+    """
+    assert num_rows_pad % B == 0 and num_cols_pad % B == 0
+    r = int(rowptr.shape[0] - 1)
+    nrb = num_rows_pad // B
+    ncb = num_cols_pad // B
+    deg = np.diff(rowptr).astype(np.int64)
+    row = np.repeat(np.arange(r, dtype=np.int64), deg)
+    c64 = col.astype(np.int64)
+    val = value if value is not None else np.ones(col.size, np.float32)
+
+    key = (row // B) * ncb + c64 // B
+    uniq, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
+    dense_blk = counts >= thresh
+    e_dense = dense_blk[inv]
+
+    dkeys = uniq[dense_blk]
+    drb = (dkeys // ncb).astype(np.int64)
+    dcb = (dkeys % ncb).astype(np.int32)
+    nb = int(dkeys.size)
+
+    # padded layout: per row-block runs, >=1 tile, rounded up to LANES
+    runs = np.bincount(drb, minlength=nrb)
+    runs_pad = np.maximum(runs, 1)
+    runs_pad = ((runs_pad + LANES - 1) // LANES) * LANES
+    total = int(runs_pad.sum())
+    if nb_pad is not None:
+        assert nb_pad >= total and nb_pad % LANES == 0, (nb_pad, total)
+    else:
+        nb_pad = total
+
+    starts_pad = np.concatenate([[0], np.cumsum(runs_pad)])[:-1]
+    starts_real = np.concatenate([[0], np.cumsum(runs)])[:-1]
+    # position of each dense tile in the padded layout
+    tile_pos = starts_pad[drb] + (np.arange(nb) - starts_real[drb])
+
+    a = np.zeros((nb_pad, B, B), dtype=a_dtype)
+    bcol_flat = np.zeros(nb_pad, dtype=np.int32)
+    bcol_flat[tile_pos] = dcb
+    brow_flat = np.full(nb_pad, nrb - 1, dtype=np.int32)  # trailing fillers
+    brow_flat[:total] = np.repeat(np.arange(nrb, dtype=np.int32), runs_pad)
+
+    if nb:
+        t = np.searchsorted(dkeys, key[e_dense])
+        p = tile_pos[t]
+        a[p, row[e_dense] % B, c64[e_dense] % B] = val[e_dense]
+
+    s = nb_pad // LANES
+    brow_step = brow_flat[::LANES].copy()
+    bcols = bcol_flat.reshape(s, LANES).T.copy()
+
+    # remainder CSR
+    r_row = row[~e_dense]
+    r_col = col[~e_dense].astype(np.int32)
+    r_val = val[~e_dense].astype(np.float32)
+    rp = np.zeros(num_rows_pad + 1, dtype=np.int64)
+    np.add.at(rp, r_row + 1, 1)
+    rp = np.cumsum(rp)
+    rem = build_hybrid_adj(rp, r_col, r_val, num_rows_pad, num_cols_pad,
+                           k=k, ovf_pad=ovf_pad, trash_col=trash_col)
+
+    deg_full = np.zeros(num_rows_pad, dtype=np.float32)
+    deg_full[:r] = deg
+    return BlockHybridAdj(
+        dense=BlockDense(a=jnp.asarray(a), brow_step=jnp.asarray(brow_step),
+                         bcols=jnp.asarray(bcols)),
+        rem=rem,
+        deg=jnp.asarray(deg_full),
+    )
+
+
+def _dense_call(dense: BlockDense, x: jnp.ndarray, num_rows: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    s = dense.brow_step.shape[0]
+    d = x.shape[1]
+
+    def kernel(brow_ref, bcols_ref, a_ref, x0, x1, x2, x3, o_ref):
+        i = pl.program_id(0)
+        prev = brow_ref[jnp.maximum(i - 1, 0)]
+        first = jnp.logical_or(i == 0, brow_ref[i] != prev)
+        xs = (x0, x1, x2, x3)
+        acc = jnp.dot(a_ref[0], xs[0][...], preferred_element_type=jnp.float32)
+        for j in range(1, LANES):
+            acc += jnp.dot(a_ref[j], xs[j][...],
+                           preferred_element_type=jnp.float32)
+
+        @pl.when(first)
+        def _():
+            o_ref[...] = acc
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            o_ref[...] += acc
+
+    def make_xspec(j):
+        return pl.BlockSpec((B, d), lambda i, br, bc, j=j: (bc[j, i], 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(s,),
+        in_specs=[pl.BlockSpec((LANES, B, B), lambda i, br, bc: (i, 0, 0))]
+                 + [make_xspec(j) for j in range(LANES)],
+        out_specs=pl.BlockSpec((B, d), lambda i, br, bc: (br[i], 0)),
+    )
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((num_rows, d), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=jax.default_backend() != "tpu",
+    )
+    a = dense.a
+    if a.dtype != x.dtype:
+        a = a.astype(x.dtype)  # uniform dtypes through the MXU
+    return call(dense.brow_step, dense.bcols, a, x, x, x, x)
+
+
+def spmm_block(adj: BlockHybridAdj, x: jnp.ndarray) -> jnp.ndarray:
+    """Weighted-sum aggregation: dense MXU tier + hybrid remainder."""
+    out = _dense_call(adj.dense, x, adj.rem.num_rows).astype(x.dtype)
+    return out + spmm_hybrid(adj.rem, x)
+
+
+def spmm_block_mean(adj: BlockHybridAdj, x: jnp.ndarray) -> jnp.ndarray:
+    return spmm_block(adj, x) / jnp.maximum(adj.deg, 1.0)[:, None]
