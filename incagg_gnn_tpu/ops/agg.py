@@ -15,6 +15,11 @@ edges/s; hybrid ELL 106M edges/s.
 
 from __future__ import annotations
 
+from incagg_gnn_tpu.ops.block import (
+    BlockHybridAdj,
+    spmm_block as _blk_sum,
+    spmm_block_mean as _blk_mean,
+)
 from incagg_gnn_tpu.ops.ell import (
     BiHybridAdj,
     HybridAdj,
@@ -32,10 +37,12 @@ from incagg_gnn_tpu.ops.spmm import (
     spmm_min as _coo_min,
 )
 
-AnyAdj = (PaddedAdj, HybridAdj, BiHybridAdj)
+AnyAdj = (PaddedAdj, HybridAdj, BiHybridAdj, BlockHybridAdj)
 
 
 def spmm(adj, x):
+    if isinstance(adj, BlockHybridAdj):
+        return _blk_sum(adj, x)
     if isinstance(adj, BiHybridAdj):
         return _bi_sum(adj, x)
     if isinstance(adj, HybridAdj):
@@ -44,6 +51,8 @@ def spmm(adj, x):
 
 
 def spmm_mean(adj, x):
+    if isinstance(adj, BlockHybridAdj):
+        return _blk_mean(adj, x)
     if isinstance(adj, BiHybridAdj):
         return _bi_mean(adj, x)
     if isinstance(adj, HybridAdj):
@@ -52,6 +61,11 @@ def spmm_mean(adj, x):
 
 
 def spmm_max(adj, x):
+    if isinstance(adj, BlockHybridAdj):
+        raise TypeError(
+            "max aggregation is not expressible on the dense MXU tier; "
+            "use hybrid/coo formats for max/min models (trainer gates this)"
+        )
     if isinstance(adj, BiHybridAdj):
         return _hyb_max(adj.fwd, x)  # autodiff backward (niche)
     if isinstance(adj, HybridAdj):
@@ -60,7 +74,7 @@ def spmm_max(adj, x):
 
 
 def spmm_min(adj, x):
-    if isinstance(adj, (BiHybridAdj, HybridAdj)):
+    if isinstance(adj, (BiHybridAdj, HybridAdj, BlockHybridAdj)):
         return -spmm_max(adj, -x)
     return _coo_min(adj, x)
 
@@ -84,6 +98,17 @@ def binarized_like(adj):
 def edge_counts(adj, batch_size):
     """(#in-batch edges, #out-of-batch edges) — the reference's per-step
     neighbor counts (base.py:369-378)."""
+    if isinstance(adj, BlockHybridAdj):
+        import jax.numpy as jnp
+
+        a_real = adj.dense.a != 0  # [NB, B, B]
+        bcol_flat = adj.dense.bcols.T.reshape(-1)  # tile -> col-block id
+        col_ids = bcol_flat[:, None] * 128 + jnp.arange(128)[None, :]
+        ib_mask = (col_ids < batch_size)[:, None, :]
+        d_ib = (a_real & ib_mask).sum()
+        d_tot = a_real.sum()
+        r_ib, r_ob = edge_counts(adj.rem, batch_size)
+        return d_ib + r_ib, d_tot - d_ib + r_ob
     if isinstance(adj, BiHybridAdj):
         adj = adj.fwd
     if isinstance(adj, HybridAdj):

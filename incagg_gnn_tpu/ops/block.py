@@ -140,6 +140,35 @@ def plan_block_tier(
     return thresh
 
 
+def measure_block_tier(
+    rowptr: np.ndarray,
+    col: np.ndarray,
+    num_rows_pad: int,
+    num_cols_pad: int,
+    thresh: int,
+) -> Tuple[int, np.ndarray]:
+    """Pre-pass for static bucket sizing: (padded tile total that
+    :func:`build_block_hybrid` will produce, remainder row degrees)."""
+    r = int(rowptr.shape[0] - 1)
+    nrb = num_rows_pad // B
+    ncb = num_cols_pad // B
+    deg = np.diff(rowptr).astype(np.int64)
+    rem_deg = deg.copy()
+    if col.size == 0:
+        return nrb * LANES, rem_deg  # one padded filler run per row-block
+    row = np.repeat(np.arange(r, dtype=np.int64), deg)
+    key = (row // B) * ncb + col.astype(np.int64) // B
+    uniq, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
+    dense_blk = counts >= thresh
+    e_dense = dense_blk[inv]
+    drb = (uniq[dense_blk] // ncb).astype(np.int64)
+    runs = np.bincount(drb, minlength=nrb)
+    runs_pad = ((np.maximum(runs, 1) + LANES - 1) // LANES) * LANES
+    if e_dense.any():
+        rem_deg -= np.bincount(row[e_dense], minlength=r)
+    return int(runs_pad.sum()), rem_deg
+
+
 def build_block_hybrid(
     rowptr: np.ndarray,
     col: np.ndarray,
@@ -269,10 +298,13 @@ def _dense_call(dense: BlockDense, x: jnp.ndarray, num_rows: int):
         grid_spec=grid_spec,
         interpret=jax.default_backend() != "tpu",
     )
-    a = dense.a
-    if a.dtype != x.dtype:
-        a = a.astype(x.dtype)  # uniform dtypes through the MXU
-    return call(dense.brow_step, dense.bcols, a, x, x, x, x)
+    # uniform dtypes through the MXU, at the TILE precision: the tile dtype
+    # encodes the configured cache-precision budget (bf16 tiles under f32
+    # activations run the dense tier in bf16 — same error class as bf16
+    # caches; accumulation stays f32 via preferred_element_type)
+    if x.dtype != dense.a.dtype:
+        x = x.astype(dense.a.dtype)
+    return call(dense.brow_step, dense.bcols, dense.a, x, x, x, x)
 
 
 def spmm_block(adj: BlockHybridAdj, x: jnp.ndarray) -> jnp.ndarray:

@@ -133,6 +133,10 @@ class Trainer:
         # the transpose via the static t2f slot permutation (adj_perm)
         is_gat = model.__class__.__name__ == "GAT"
         needs_coo_train = cfg.edge_dropout > 0.0
+        # dense MXU tier (ops/block.py): sum/mean refresh aggregations only —
+        # GAT (edge attention) and PNA (max/min aggregators) keep hybrid
+        blockable = model.__class__.__name__ in (
+            "GCN", "GCN2", "APPNP", "GraphSAGE")
         if cfg.adj_format == "auto":
             # hybrid's scatter-free win is bandwidth-bound and needs batch
             # rows in the tens of thousands; at tiny single-cluster batches
@@ -147,11 +151,30 @@ class Trainer:
             est_rows = int(sizes[-min(cfg.batch_size, len(sizes)):].sum())
             train_fmt = ("coo" if needs_coo_train or est_rows < 4096
                          else "hybrid")
-            eval_fmt = "hybrid-fwd"
+            # the tier's own cost model + device-cache budget still gate it
+            eval_fmt = "block-fwd" if blockable else "hybrid-fwd"
         else:
             train_fmt = eval_fmt = cfg.adj_format
             if cfg.adj_format == "hybrid":
                 eval_fmt = "hybrid-fwd"
+            elif cfg.adj_format == "block":
+                train_fmt, eval_fmt = "hybrid", "block-fwd"
+                if not blockable:
+                    raise ValueError(
+                        f"adj_format=block unsupported for "
+                        f"{model.__class__.__name__} (needs sum/mean "
+                        f"aggregation refresh)")
+        import ml_dtypes
+
+        blk_kwargs = dict(
+            # tile dtype follows the user's stated cache-precision budget;
+            # fp8 caches still get f32 tiles (fp8 matmul values would add
+            # adjacency error on top of the cache quantization)
+            block_dtype=(ml_dtypes.bfloat16 if cfg.hist_dtype == "bfloat16"
+                         else np.float32),
+            block_d_hint=int(getattr(model.cfg, "hidden_channels", 256)),
+            block_force=cfg.adj_format == "block",
+        )
         self.train_loader = SubgraphLoader(
             data, ptr, batch_size=cfg.batch_size, mode=train_mode,
             num_neighbors=cfg.num_neighbors, shuffle=True, seed=cfg.seed,
@@ -159,7 +182,8 @@ class Trainer:
             adj_perm=is_gat and train_fmt == "hybrid",
         )
         self.eval_loader = EvalSubgraphLoader(
-            data, ptr, batch_size=cfg.eval_batch_size, adj_format=eval_fmt
+            data, ptr, batch_size=cfg.eval_batch_size, adj_format=eval_fmt,
+            **(blk_kwargs if eval_fmt == "block-fwd" else {}),
         )
 
         # --- model / optimizer / history ---
