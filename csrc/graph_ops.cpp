@@ -675,4 +675,116 @@ void transpose_csr(const int64_t* rowptr, const int32_t* col,
   }
 }
 
+
+// ---------------------------------------------------------------------------
+// CSR -> dense 128x128 tiles + remainder CSR (the block-dense MXU tier,
+// ops/block.py).  Two phases so Python can lay out the padded tile buffer
+// between them (runs per row-block rounded to the kernel's LANES):
+//
+//   blocks_count: per row-block, the number of dense tiles (blocks holding
+//     >= thresh edges) and per-row remainder degrees.
+//   blocks_fill:  writes tile values (f32 or bf16-RNE), per-tile column-
+//     block ids, and the remainder col/val at exact CSR offsets.
+//
+// Both parallelize over row-blocks (disjoint output ranges); scratch is a
+// per-thread [ncb] count/slot map reset via a touched list.
+
+static inline uint16_t f32_to_bf16(float f) {
+  uint32_t x;
+  std::memcpy(&x, &f, 4);
+  x += 0x7FFFu + ((x >> 16) & 1);  // round to nearest even
+  return (uint16_t)(x >> 16);
+}
+
+int64_t blocks_count(const int64_t* rowptr, const int32_t* col, int64_t r,
+                     int64_t ncb, int64_t thresh, int64_t* ndense_per_rb,
+                     int64_t* rem_deg) {
+  const int64_t nrb = (r + 127) / 128;
+  int64_t total = 0;
+#pragma omp parallel reduction(+ : total)
+  {
+    std::vector<int32_t> cnt(ncb, 0);
+    std::vector<int32_t> touched;
+#pragma omp for schedule(dynamic, 4)
+    for (int64_t rb = 0; rb < nrb; ++rb) {
+      const int64_t r0 = rb * 128, r1 = std::min<int64_t>(r0 + 128, r);
+      touched.clear();
+      for (int64_t j = rowptr[r0]; j < rowptr[r1]; ++j) {
+        const int32_t cb = col[j] >> 7;
+        if (cnt[cb]++ == 0) touched.push_back(cb);
+      }
+      int64_t nd = 0;
+      for (int32_t cb : touched)
+        if (cnt[cb] >= thresh) ++nd;
+      ndense_per_rb[rb] = nd;
+      total += nd;
+      for (int64_t i = r0; i < r1; ++i) {
+        int64_t rd = 0;
+        for (int64_t j = rowptr[i]; j < rowptr[i + 1]; ++j)
+          if (cnt[col[j] >> 7] < thresh) ++rd;
+        rem_deg[i] = rd;
+      }
+      for (int32_t cb : touched) cnt[cb] = 0;
+    }
+  }
+  return total;
+}
+
+void blocks_fill(const int64_t* rowptr, const int32_t* col, const float* value,
+                 int64_t r, int64_t ncb, int64_t thresh,
+                 const int64_t* tile_start,  // [nrb] padded start per row-block
+                 const int64_t* rem_rowptr,  // [r+1] cumsum of rem_deg
+                 void* a_out, int32_t a_is_bf16, int32_t* bcol_out,
+                 int32_t* rem_col, float* rem_val) {
+  const int64_t nrb = (r + 127) / 128;
+#pragma omp parallel
+  {
+    std::vector<int32_t> cnt(ncb, 0);
+    std::vector<int32_t> slot(ncb, -1);
+    std::vector<int32_t> touched;
+#pragma omp for schedule(dynamic, 4)
+    for (int64_t rb = 0; rb < nrb; ++rb) {
+      const int64_t r0 = rb * 128, r1 = std::min<int64_t>(r0 + 128, r);
+      touched.clear();
+      for (int64_t j = rowptr[r0]; j < rowptr[r1]; ++j) {
+        const int32_t cb = col[j] >> 7;
+        if (cnt[cb]++ == 0) touched.push_back(cb);
+      }
+      std::sort(touched.begin(), touched.end());
+      int32_t nd = 0;
+      const int64_t t0 = tile_start[rb];
+      for (int32_t cb : touched)
+        if (cnt[cb] >= thresh) {
+          slot[cb] = nd;
+          bcol_out[t0 + nd] = cb;
+          ++nd;
+        }
+      for (int64_t i = r0; i < r1; ++i) {
+        int64_t rc = rem_rowptr[i];
+        for (int64_t j = rowptr[i]; j < rowptr[i + 1]; ++j) {
+          const int32_t c = col[j];
+          const int32_t cb = c >> 7;
+          const float v = value ? value[j] : 1.0f;
+          if (cnt[cb] >= thresh) {
+            const int64_t off =
+                (t0 + slot[cb]) * 16384 + (i - r0) * 128 + (c & 127);
+            if (a_is_bf16)
+              ((uint16_t*)a_out)[off] = f32_to_bf16(v);
+            else
+              ((float*)a_out)[off] = v;
+          } else {
+            rem_col[rc] = c;
+            rem_val[rc] = v;
+            ++rc;
+          }
+        }
+      }
+      for (int32_t cb : touched) {
+        cnt[cb] = 0;
+        slot[cb] = -1;
+      }
+    }
+  }
+}
+
 }  // extern "C"

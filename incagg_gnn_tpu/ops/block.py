@@ -153,19 +153,29 @@ def measure_block_tier(
     nrb = num_rows_pad // B
     ncb = num_cols_pad // B
     deg = np.diff(rowptr).astype(np.int64)
-    rem_deg = deg.copy()
     if col.size == 0:
-        return nrb * LANES, rem_deg  # one padded filler run per row-block
-    row = np.repeat(np.arange(r, dtype=np.int64), deg)
-    key = (row // B) * ncb + col.astype(np.int64) // B
-    uniq, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
-    dense_blk = counts >= thresh
-    e_dense = dense_blk[inv]
-    drb = (uniq[dense_blk] // ncb).astype(np.int64)
-    runs = np.bincount(drb, minlength=nrb)
+        return nrb * LANES, deg  # one padded filler run per row-block
+
+    from incagg_gnn_tpu.utils.native import get_native_lib
+
+    lib = get_native_lib()
+    if lib is not None:
+        _, ndense, rem_deg = lib.blocks_count(rowptr, col, ncb, thresh)
+        runs = np.zeros(nrb, dtype=np.int64)
+        runs[: ndense.shape[0]] = ndense
+    else:
+        rem_deg = deg.copy()
+        row = np.repeat(np.arange(r, dtype=np.int64), deg)
+        key = (row // B) * ncb + col.astype(np.int64) // B
+        uniq, inv, counts = np.unique(key, return_inverse=True,
+                                      return_counts=True)
+        dense_blk = counts >= thresh
+        e_dense = dense_blk[inv]
+        drb = (uniq[dense_blk] // ncb).astype(np.int64)
+        runs = np.bincount(drb, minlength=nrb)
+        if e_dense.any():
+            rem_deg -= np.bincount(row[e_dense], minlength=r)
     runs_pad = ((np.maximum(runs, 1) + LANES - 1) // LANES) * LANES
-    if e_dense.any():
-        rem_deg -= np.bincount(row[e_dense], minlength=r)
     return int(runs_pad.sum()), rem_deg
 
 
@@ -193,57 +203,91 @@ def build_block_hybrid(
     nrb = num_rows_pad // B
     ncb = num_cols_pad // B
     deg = np.diff(rowptr).astype(np.int64)
-    row = np.repeat(np.arange(r, dtype=np.int64), deg)
-    c64 = col.astype(np.int64)
-    val = value if value is not None else np.ones(col.size, np.float32)
 
-    key = (row // B) * ncb + c64 // B
-    uniq, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
-    dense_blk = counts >= thresh
-    e_dense = dense_blk[inv]
+    from incagg_gnn_tpu.utils.native import get_native_lib
 
-    dkeys = uniq[dense_blk]
-    drb = (dkeys // ncb).astype(np.int64)
-    dcb = (dkeys % ncb).astype(np.int32)
-    nb = int(dkeys.size)
+    lib = get_native_lib()
+    if lib is not None and col.size:
+        # C++ two-phase build: count -> padded layout -> fill in place
+        # (the numpy path's unique+fancy-scatter took ~50 s at reddit scale)
+        _, ndense, rem_deg = lib.blocks_count(rowptr, col, ncb, thresh)
+        runs = np.zeros(nrb, dtype=np.int64)
+        runs[: ndense.shape[0]] = ndense
+        runs_pad = ((np.maximum(runs, 1) + LANES - 1) // LANES) * LANES
+        total = int(runs_pad.sum())
+        if nb_pad is not None:
+            assert nb_pad >= total and nb_pad % LANES == 0, (nb_pad, total)
+        else:
+            nb_pad = total
+        starts_pad = np.concatenate([[0], np.cumsum(runs_pad)])[:-1]
 
-    # padded layout: per row-block runs, >=1 tile, rounded up to LANES
-    runs = np.bincount(drb, minlength=nrb)
-    runs_pad = np.maximum(runs, 1)
-    runs_pad = ((runs_pad + LANES - 1) // LANES) * LANES
-    total = int(runs_pad.sum())
-    if nb_pad is not None:
-        assert nb_pad >= total and nb_pad % LANES == 0, (nb_pad, total)
+        a = np.zeros((nb_pad, B, B), dtype=a_dtype)
+        bcol_flat = np.zeros(nb_pad, dtype=np.int32)
+        brow_flat = np.full(nb_pad, nrb - 1, dtype=np.int32)
+        brow_flat[:total] = np.repeat(np.arange(nrb, dtype=np.int32), runs_pad)
+
+        rp = np.zeros(num_rows_pad + 1, dtype=np.int64)
+        rp[1 : r + 1] = np.cumsum(rem_deg)
+        rp[r + 1 :] = rp[r]
+        nrem = int(rp[r])
+        r_col = np.empty(max(nrem, 1), dtype=np.int32)
+        r_val = np.empty(max(nrem, 1), dtype=np.float32)
+        lib.blocks_fill(rowptr, col, value, ncb, thresh, starts_pad, rp,
+                        a, bcol_flat, r_col, r_val)
+        r_col, r_val = r_col[:nrem], r_val[:nrem]
     else:
-        nb_pad = total
+        row = np.repeat(np.arange(r, dtype=np.int64), deg)
+        c64 = col.astype(np.int64)
+        val = value if value is not None else np.ones(col.size, np.float32)
 
-    starts_pad = np.concatenate([[0], np.cumsum(runs_pad)])[:-1]
-    starts_real = np.concatenate([[0], np.cumsum(runs)])[:-1]
-    # position of each dense tile in the padded layout
-    tile_pos = starts_pad[drb] + (np.arange(nb) - starts_real[drb])
+        key = (row // B) * ncb + c64 // B
+        uniq, inv, counts = np.unique(key, return_inverse=True,
+                                      return_counts=True)
+        dense_blk = counts >= thresh
+        e_dense = dense_blk[inv]
 
-    a = np.zeros((nb_pad, B, B), dtype=a_dtype)
-    bcol_flat = np.zeros(nb_pad, dtype=np.int32)
-    bcol_flat[tile_pos] = dcb
-    brow_flat = np.full(nb_pad, nrb - 1, dtype=np.int32)  # trailing fillers
-    brow_flat[:total] = np.repeat(np.arange(nrb, dtype=np.int32), runs_pad)
+        dkeys = uniq[dense_blk]
+        drb = (dkeys // ncb).astype(np.int64)
+        dcb = (dkeys % ncb).astype(np.int32)
+        nb = int(dkeys.size)
 
-    if nb:
-        t = np.searchsorted(dkeys, key[e_dense])
-        p = tile_pos[t]
-        a[p, row[e_dense] % B, c64[e_dense] % B] = val[e_dense]
+        # padded layout: per row-block runs, >=1 tile, rounded up to LANES
+        runs = np.bincount(drb, minlength=nrb)
+        runs_pad = np.maximum(runs, 1)
+        runs_pad = ((runs_pad + LANES - 1) // LANES) * LANES
+        total = int(runs_pad.sum())
+        if nb_pad is not None:
+            assert nb_pad >= total and nb_pad % LANES == 0, (nb_pad, total)
+        else:
+            nb_pad = total
+
+        starts_pad = np.concatenate([[0], np.cumsum(runs_pad)])[:-1]
+        starts_real = np.concatenate([[0], np.cumsum(runs)])[:-1]
+        # position of each dense tile in the padded layout
+        tile_pos = starts_pad[drb] + (np.arange(nb) - starts_real[drb])
+
+        a = np.zeros((nb_pad, B, B), dtype=a_dtype)
+        bcol_flat = np.zeros(nb_pad, dtype=np.int32)
+        bcol_flat[tile_pos] = dcb
+        brow_flat = np.full(nb_pad, nrb - 1, dtype=np.int32)  # trailing fillers
+        brow_flat[:total] = np.repeat(np.arange(nrb, dtype=np.int32), runs_pad)
+
+        if nb:
+            t = np.searchsorted(dkeys, key[e_dense])
+            p = tile_pos[t]
+            a[p, row[e_dense] % B, c64[e_dense] % B] = val[e_dense]
+
+        # remainder CSR
+        r_row = row[~e_dense]
+        r_col = col[~e_dense].astype(np.int32)
+        r_val = val[~e_dense].astype(np.float32)
+        rp = np.zeros(num_rows_pad + 1, dtype=np.int64)
+        np.add.at(rp, r_row + 1, 1)
+        rp = np.cumsum(rp)
 
     s = nb_pad // LANES
     brow_step = brow_flat[::LANES].copy()
     bcols = bcol_flat.reshape(s, LANES).T.copy()
-
-    # remainder CSR
-    r_row = row[~e_dense]
-    r_col = col[~e_dense].astype(np.int32)
-    r_val = val[~e_dense].astype(np.float32)
-    rp = np.zeros(num_rows_pad + 1, dtype=np.int64)
-    np.add.at(rp, r_row + 1, 1)
-    rp = np.cumsum(rp)
     rem = build_hybrid_adj(rp, r_col, r_val, num_rows_pad, num_cols_pad,
                            k=k, ovf_pad=ovf_pad, trash_col=trash_col)
 

@@ -155,3 +155,53 @@ class TestLoaderIntegration:
             outs[fmt] = np.asarray(tr.fill_history())
         np.testing.assert_allclose(outs["hybrid"], outs["block"],
                                    atol=2e-4, rtol=1e-3)
+
+
+class TestNativeBuilder:
+    def test_native_matches_numpy(self, rng, monkeypatch):
+        """C++ blocks_count/blocks_fill == the numpy builder, bit-exact
+        (incl. tile order, remainder edge order, bf16 rounding class)."""
+        import ml_dtypes
+
+        from incagg_gnn_tpu.ops import block as block_mod
+        from incagg_gnn_tpu.utils import native as native_mod
+
+        assert native_mod.get_native_lib() is not None, "native lib required"
+        g = clustered_graph(rng, n=700, clusters=5, intra=6000, inter=2500)
+        n_pad = 768
+        for dt in (np.float32, ml_dtypes.bfloat16):
+            got = block_mod.build_block_hybrid(
+                g.rowptr, g.col, g.value, n_pad, n_pad, thresh=28, a_dtype=dt)
+            with monkeypatch.context() as m:
+                m.setattr(block_mod, "get_native_lib", lambda: None,
+                          raising=False)
+                m.setattr(native_mod, "get_native_lib", lambda: None)
+                want = block_mod.build_block_hybrid(
+                    g.rowptr, g.col, g.value, n_pad, n_pad, thresh=28,
+                    a_dtype=dt)
+            np.testing.assert_array_equal(
+                np.asarray(got.dense.brow_step),
+                np.asarray(want.dense.brow_step))
+            np.testing.assert_array_equal(
+                np.asarray(got.dense.bcols), np.asarray(want.dense.bcols))
+            ga = np.asarray(got.dense.a, np.float32)
+            wa = np.asarray(want.dense.a, np.float32)
+            atol = 0 if dt == np.float32 else 1e-2
+            np.testing.assert_allclose(ga, wa, atol=atol)
+            for name in ("ell_cols", "ell_vals", "ovf_rows", "ovf_cols",
+                         "ovf_vals", "deg"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(got.rem, name)),
+                    np.asarray(getattr(want.rem, name)), err_msg=name)
+
+    def test_native_measure_matches_numpy(self, rng, monkeypatch):
+        from incagg_gnn_tpu.ops import block as block_mod
+        from incagg_gnn_tpu.utils import native as native_mod
+
+        g = clustered_graph(rng, n=500, clusters=4)
+        got = block_mod.measure_block_tier(g.rowptr, g.col, 512, 512, 24)
+        with monkeypatch.context() as m:
+            m.setattr(native_mod, "get_native_lib", lambda: None)
+            want = block_mod.measure_block_tier(g.rowptr, g.col, 512, 512, 24)
+        assert got[0] == want[0]
+        np.testing.assert_array_equal(got[1], want[1])
