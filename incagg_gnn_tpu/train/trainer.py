@@ -134,9 +134,11 @@ class Trainer:
         is_gat = model.__class__.__name__ == "GAT"
         needs_coo_train = cfg.edge_dropout > 0.0
         # dense MXU tier (ops/block.py): sum/mean refresh aggregations only —
-        # GAT (edge attention) and PNA (max/min aggregators) keep hybrid
+        # GAT (edge attention) and PNA (max/min aggregators) keep hybrid.
+        # Also off under a GSPMD mesh: XLA cannot shard-propagate through
+        # the Pallas custom call (it would replicate the batch arrays).
         blockable = model.__class__.__name__ in (
-            "GCN", "GCN2", "APPNP", "GraphSAGE")
+            "GCN", "GCN2", "APPNP", "GraphSAGE") and mesh is None
         if cfg.adj_format == "auto":
             # hybrid's scatter-free win is bandwidth-bound and needs batch
             # rows in the tens of thousands; at tiny single-cluster batches
@@ -161,9 +163,10 @@ class Trainer:
                 train_fmt, eval_fmt = "hybrid", "block-fwd"
                 if not blockable:
                     raise ValueError(
-                        f"adj_format=block unsupported for "
-                        f"{model.__class__.__name__} (needs sum/mean "
-                        f"aggregation refresh)")
+                        f"adj_format=block unsupported here: model "
+                        f"{model.__class__.__name__} must use sum/mean "
+                        f"aggregation (GCN/GCN2/APPNP/GraphSAGE) and the "
+                        f"trainer must not run under a GSPMD mesh")
         import ml_dtypes
 
         blk_kwargs = dict(
