@@ -38,7 +38,7 @@ def main():
     a_np_dtype = ml_dtypes.bfloat16 if dtype_s == "bf16" else np.float32
 
     t0 = time.perf_counter()
-    th = plan_block_tier(adj.rowptr, adj.col, n_pad, n_pad,
+    th = plan_block_tier(adj.rowptr, adj.col, n_pad,
                          x_itemsize=2 if dtype_s == "bf16" else 4, d_hint=d)
     print(f"plan: thresh={th} [{time.perf_counter()-t0:.1f}s]")
     t0 = time.perf_counter()

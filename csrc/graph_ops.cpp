@@ -768,10 +768,17 @@ void blocks_fill(const int64_t* rowptr, const int32_t* col, const float* value,
           if (cnt[cb] >= thresh) {
             const int64_t off =
                 (t0 + slot[cb]) * 16384 + (i - r0) * 128 + (c & 127);
-            if (a_is_bf16)
-              ((uint16_t*)a_out)[off] = f32_to_bf16(v);
-            else
-              ((float*)a_out)[off] = v;
+            // accumulate: duplicate (row,col) entries must SUM, matching
+            // the ELL/COO paths (each duplicate gets its own slot there)
+            if (a_is_bf16) {
+              uint16_t* p = (uint16_t*)a_out + off;
+              uint32_t cur = ((uint32_t)*p) << 16;
+              float curf;
+              std::memcpy(&curf, &cur, 4);
+              *p = f32_to_bf16(curf + v);
+            } else {
+              ((float*)a_out)[off] += v;
+            }
           } else {
             rem_col[rc] = c;
             rem_val[rc] = v;

@@ -317,33 +317,47 @@ class SubgraphLoader:
         static tile buckets across batches.  Returns None when the tier is
         off (caller falls back to plain hybrid-fwd)."""
         from incagg_gnn_tpu.ops.block import (
-            B as BLK, build_block_hybrid, measure_block_tier, plan_block_tier)
+            B as BLK, build_block_hybrid, marginal_thresh, measure_block_tier,
+            plan_block_tier)
         from incagg_gnn_tpu.ops.ell import choose_k
 
         b = self.buckets
         a_itemsize = np.dtype(self.block_dtype).itemsize
+        measured = None  # (thresh, total, rem_deg) of the last measure pass
         if b.blk == 0:  # decide on the first collated batch
             th = plan_block_tier(
-                rowptr, col, b.rows, b.cols,
+                rowptr, col, b.cols,
                 x_itemsize=a_itemsize, a_itemsize=a_itemsize,
                 d_hint=self.block_d_hint,
             )
             if th is None and self.block_force:
-                # forced: use the marginal break-even threshold anyway
-                c_blk = (BLK * BLK + BLK * self.block_d_hint) * a_itemsize / 819.0
-                th = max(8, int(np.ceil(c_blk / 5.7)))
+                th = marginal_thresh(a_itemsize, a_itemsize,
+                                     self.block_d_hint)
             if th is not None:
-                total, _ = measure_block_tier(rowptr, col, b.rows, b.cols, th)
-                tile_bytes = total * BLK * BLK * a_itemsize
+                total, rem_deg = measure_block_tier(rowptr, col, b.rows,
+                                                    b.cols, th)
+                measured = (th, total, rem_deg)
+                # admission requires the WHOLE batch — tiles plus the hybrid
+                # remainder and index arrays — to fit the device cache: the
+                # tier only pays device-resident (_use_device_cache uses the
+                # same accounting once buckets are final)
+                k_est = choose_k(rem_deg)
+                per = (total * BLK * BLK * a_itemsize
+                       + b.rows * k_est * 8 + (b.rows + b.cols) * 4
+                       + int(np.maximum(rem_deg - k_est, 0).sum()) * 12)
                 budget = (self.hbm_budget if self.hbm_budget is not None
                           else 1_500_000_000)
-                if not self.block_force and tile_bytes * len(self) > budget:
-                    th = None  # tiles would not fit device-resident
+                if not self.block_force and per * len(self) > budget:
+                    th = None  # would stream 30-200x inflated tiles: net loss
             b.blk = th if th is not None else -1
         if b.blk < 0:
             return None
 
-        total, rem_deg = measure_block_tier(rowptr, col, b.rows, b.cols, b.blk)
+        if measured is not None and measured[0] == b.blk:
+            total, rem_deg = measured[1], measured[2]
+        else:
+            total, rem_deg = measure_block_tier(rowptr, col, b.rows, b.cols,
+                                                b.blk)
         k_need = choose_k(rem_deg)
         ovf_need = int(np.maximum(rem_deg - max(b.k, k_need), 0).sum())
         grew = False

@@ -75,7 +75,20 @@ class BlockHybridAdj(NamedTuple):
         )
 
 
-def _cost_ns(counts: np.ndarray, num_rows: int, num_edges: int,
+def block_cost_ns(x_itemsize: int, a_itemsize: int, d_hint: int) -> float:
+    """Measured per-dense-tile cost model: the (A tile + x tile) DMA at HBM
+    bandwidth (the kernel is DMA-roofline-bound at LANES=4, docs/RESULTS.md)."""
+    return (B * B * a_itemsize + B * d_hint * x_itemsize) / _HBM_GBPS
+
+
+def marginal_thresh(x_itemsize: int, a_itemsize: int, d_hint: int) -> int:
+    """Edges/block above which one dense tile beats its edges' ELL slots."""
+    c_slot = _C_SLOT_NS.get(x_itemsize, 5.7)
+    return max(8, int(np.ceil(block_cost_ns(x_itemsize, a_itemsize, d_hint)
+                              / c_slot)))
+
+
+def _cost_ns(counts: np.ndarray, num_edges: int,
              thresh: int, deg: np.ndarray, x_itemsize: int, a_itemsize: int,
              d_hint: int) -> Tuple[float, float, int]:
     """(est. hybrid-only ns, est. block+remainder ns, dense edge count)."""
@@ -92,7 +105,7 @@ def _cost_ns(counts: np.ndarray, num_rows: int, num_edges: int,
     dense_mask = counts >= thresh
     nb = int(dense_mask.sum())
     e_dense = int(counts[dense_mask].sum())
-    c_blk = (B * B * a_itemsize + B * d_hint * x_itemsize) / _HBM_GBPS
+    c_blk = block_cost_ns(x_itemsize, a_itemsize, d_hint)
     # remainder rows keep their row count; degrees shrink by the dense edges.
     # Approximate the remainder degree distribution by uniform shrink (exact
     # per-row recount needs the edge->block map; this errs conservative).
@@ -107,7 +120,6 @@ def _cost_ns(counts: np.ndarray, num_rows: int, num_edges: int,
 def plan_block_tier(
     rowptr: np.ndarray,
     col: np.ndarray,
-    num_rows_pad: int,
     num_cols_pad: int,
     x_itemsize: int = 4,
     a_itemsize: Optional[int] = None,
@@ -129,12 +141,10 @@ def plan_block_tier(
     ncb = num_cols_pad // B
     key = (row // B) * ncb + col.astype(np.int64) // B
     counts = np.unique(key, return_counts=True)[1]
-    c_slot = _C_SLOT_NS.get(x_itemsize, 5.7)
-    c_blk = (B * B * a_itemsize + B * d_hint * x_itemsize) / _HBM_GBPS
     # marginal break-even, then verify globally (k / overflow interactions)
-    thresh = max(8, int(np.ceil(c_blk / c_slot)))
+    thresh = marginal_thresh(x_itemsize, a_itemsize, d_hint)
     base, tiered, e_dense = _cost_ns(
-        counts, r, int(col.size), thresh, deg, x_itemsize, a_itemsize, d_hint)
+        counts, int(col.size), thresh, deg, x_itemsize, a_itemsize, d_hint)
     if e_dense == 0 or tiered > base * (1.0 - min_gain):
         return None
     return thresh
@@ -275,7 +285,13 @@ def build_block_hybrid(
         if nb:
             t = np.searchsorted(dkeys, key[e_dense])
             p = tile_pos[t]
-            a[p, row[e_dense] % B, c64[e_dense] % B] = val[e_dense]
+            # add (not assign): duplicate (row,col) entries must SUM, as the
+            # ELL/COO paths do (each duplicate gets its own slot there)
+            acc = a if a.dtype == np.float32 else np.zeros_like(a, np.float32)
+            np.add.at(acc, (p, row[e_dense] % B, c64[e_dense] % B),
+                      val[e_dense])
+            if acc is not a:
+                a[...] = acc
 
         # remainder CSR
         r_row = row[~e_dense]

@@ -200,31 +200,42 @@ import os
 _ELL_BUDGET_BYTES = int(os.environ.get("INCAGG_ELL_BUDGET_MB", "2048")) << 20
 
 
-def _ell_sum(ell_cols: jnp.ndarray, ell_vals: jnp.ndarray,
-             x: jnp.ndarray) -> jnp.ndarray:
-    """(x[ell_cols] * ell_vals).sum(axis=1), row-chunked under a memory
-    budget so the materialized gather stays bounded."""
+def _chunked_rows(per_chunk, ell_cols, ell_vals, x):
+    """Apply ``per_chunk(cols[rc,k], vals[rc,k], rc) -> [rc, d]`` over all ELL
+    rows, in one shot when the materialized [R,K,D] gather fits the budget,
+    else via lax.map over 8-aligned row chunks (padding rows are col 0 with
+    value 0: they contribute nothing and are sliced off)."""
     r, k = ell_cols.shape
     d = x.shape[1]
     need = r * k * d * x.dtype.itemsize
-    if need <= _ELL_BUDGET_BYTES:
-        g = jnp.take(x, ell_cols.reshape(-1), axis=0)
-        g = g.reshape(r, k, d)
-        return (g * ell_vals[..., None]).sum(axis=1)
-    n_chunks = -(-need // _ELL_BUDGET_BYTES)
+    budget = max(_ELL_BUDGET_BYTES, 1)
+    if need <= budget:
+        return per_chunk(ell_cols, ell_vals, r)
+    n_chunks = -(-need // budget)
     rc = -(-r // n_chunks)
     rc = -(-rc // 8) * 8
     n_chunks = -(-r // rc)
     pad = n_chunks * rc - r
-    # padding rows: col 0 with value 0 contribute nothing and are sliced off
     cols = jnp.pad(ell_cols, ((0, pad), (0, 0)))
     vals = jnp.pad(ell_vals, ((0, pad), (0, 0)))
     out = jax.lax.map(
-        lambda cv: (jnp.take(x, cv[0].reshape(-1), axis=0)
-                    .reshape(rc, k, d) * cv[1][..., None]).sum(axis=1),
+        lambda cv: per_chunk(cv[0], cv[1], rc),
         (cols.reshape(n_chunks, rc, k), vals.reshape(n_chunks, rc, k)),
     )
     return out.reshape(n_chunks * rc, d)[:r]
+
+
+def _ell_sum(ell_cols: jnp.ndarray, ell_vals: jnp.ndarray,
+             x: jnp.ndarray) -> jnp.ndarray:
+    """(x[ell_cols] * ell_vals).sum(axis=1), row-chunked under the budget."""
+    k = ell_cols.shape[1]
+    d = x.shape[1]
+
+    def dense(cols, vals, rr):
+        g = jnp.take(x, cols.reshape(-1), axis=0).reshape(rr, k, d)
+        return (g * vals[..., None]).sum(axis=1)
+
+    return _chunked_rows(dense, ell_cols, ell_vals, x)
 
 
 def spmm_hybrid(adj: HybridAdj, x: jnp.ndarray) -> jnp.ndarray:
@@ -433,8 +444,9 @@ def spmm_hybrid_mean(adj: HybridAdj, x: jnp.ndarray) -> jnp.ndarray:
 
 def _ell_max(ell_cols: jnp.ndarray, ell_vals: jnp.ndarray,
              x: jnp.ndarray) -> jnp.ndarray:
-    """Masked row-max over ELL slots, chunked like ``_ell_sum``."""
-    r, k = ell_cols.shape
+    """Masked row-max over ELL slots, chunked like ``_ell_sum``.  Padding
+    rows come back as the sentinel; spmm_hybrid_max zeroes deg-0 rows."""
+    k = ell_cols.shape[1]
     d = x.shape[1]
     neg = jnp.finfo(x.dtype).min
 
@@ -442,21 +454,7 @@ def _ell_max(ell_cols: jnp.ndarray, ell_vals: jnp.ndarray,
         g = jnp.take(x, cols.reshape(-1), axis=0).reshape(rr, k, d)
         return jnp.where((vals != 0)[..., None], g, neg).max(axis=1)
 
-    need = r * k * d * x.dtype.itemsize
-    if need <= _ELL_BUDGET_BYTES:
-        return dense(ell_cols, ell_vals, r)
-    n_chunks = -(-need // _ELL_BUDGET_BYTES)
-    rc = -(-r // n_chunks)
-    rc = -(-rc // 8) * 8
-    n_chunks = -(-r // rc)
-    pad = n_chunks * rc - r
-    cols = jnp.pad(ell_cols, ((0, pad), (0, 0)))
-    vals = jnp.pad(ell_vals, ((0, pad), (0, 0)))
-    out = jax.lax.map(
-        lambda cv: dense(cv[0], cv[1], rc),
-        (cols.reshape(n_chunks, rc, k), vals.reshape(n_chunks, rc, k)),
-    )
-    return out.reshape(n_chunks * rc, d)[:r]
+    return _chunked_rows(dense, ell_cols, ell_vals, x)
 
 
 def spmm_hybrid_max(adj: HybridAdj, x: jnp.ndarray) -> jnp.ndarray:

@@ -37,7 +37,7 @@ class TestBlockTier:
     def test_sum_mean_binarized_match_hybrid(self, rng):
         g = clustered_graph(rng)
         n_pad = 640
-        th = plan_block_tier(g.rowptr, g.col, n_pad, n_pad, x_itemsize=4)
+        th = plan_block_tier(g.rowptr, g.col, n_pad, x_itemsize=4)
         assert th is not None  # dense clusters -> tier pays
         adj = build_block_hybrid(g.rowptr, g.col, g.value, n_pad, n_pad,
                                  thresh=th)
@@ -82,11 +82,11 @@ class TestBlockTier:
         row = rng.integers(0, 2000, 15_000)
         col = rng.integers(0, 2000, 15_000)
         g = CSRGraph.from_coo(row, col, 2000, None, coalesce=True)
-        assert plan_block_tier(g.rowptr, g.col, 2048, 2048) is None
+        assert plan_block_tier(g.rowptr, g.col, 2048) is None
 
     def test_plan_empty(self):
         rowptr = np.zeros(129, dtype=np.int64)
-        assert plan_block_tier(rowptr, np.empty(0, np.int32), 128, 128) is None
+        assert plan_block_tier(rowptr, np.empty(0, np.int32), 128) is None
 
     def test_bf16_tiles(self, rng):
         import ml_dtypes
@@ -205,3 +205,33 @@ class TestNativeBuilder:
             want = block_mod.measure_block_tier(g.rowptr, g.col, 512, 512, 24)
         assert got[0] == want[0]
         np.testing.assert_array_equal(got[1], want[1])
+
+
+class TestDuplicateEdges:
+    def test_duplicates_sum_like_hybrid(self, rng, monkeypatch):
+        """Non-coalesced CSR: dense tiles must SUM duplicate (row,col)
+        entries exactly as the ELL/COO paths do (native and numpy)."""
+        from incagg_gnn_tpu.ops import block as block_mod
+        from incagg_gnn_tpu.utils import native as native_mod
+
+        # rows 0..127 in one dense block, every edge duplicated
+        row = np.repeat(rng.integers(0, 128, 900), 2)
+        col = np.repeat(rng.integers(0, 128, 900), 2)
+        val = rng.random(1800).astype(np.float32)
+        rowptr = np.zeros(129, np.int64)
+        np.add.at(rowptr, row + 1, 1)
+        order = np.argsort(row, kind="stable")
+        rowptr = np.cumsum(rowptr)
+        col_s, val_s = col[order].astype(np.int32), val[order]
+        hyb = build_hybrid_adj(rowptr, col_s, val_s, 128, 128, k=8)
+        x = jnp.asarray(rng.standard_normal((128, 16)), jnp.float32)
+        want = np.asarray(spmm_hybrid(hyb, x))
+        for native in (True, False):
+            with monkeypatch.context() as m:
+                if not native:
+                    m.setattr(native_mod, "get_native_lib", lambda: None)
+                adj = block_mod.build_block_hybrid(
+                    rowptr, col_s, val_s, 128, 128, thresh=4)
+            got = np.asarray(spmm_block(adj, x))
+            np.testing.assert_allclose(want, got, atol=1e-4,
+                                       err_msg=f"native={native}")
