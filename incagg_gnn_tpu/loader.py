@@ -350,6 +350,11 @@ class SubgraphLoader:
                 if not self.block_force and per * len(self) > budget:
                     th = None  # would stream 30-200x inflated tiles: net loss
             b.blk = th if th is not None else -1
+            import logging
+
+            logging.getLogger(__name__).info(
+                "block tier %s (thresh=%s)",
+                "ON" if b.blk > 0 else "off", b.blk if b.blk > 0 else None)
         if b.blk < 0:
             return None
 
