@@ -317,7 +317,34 @@ def build_block_hybrid(
     )
 
 
+def _dense_reference(dense: BlockDense, x: jnp.ndarray,
+                     num_rows: int) -> jnp.ndarray:
+    """Pure-XLA equivalent of the Pallas kernel (block gather + batched
+    matmul + sorted block segment-sum).  Used on non-TPU backends: it is
+    semantically identical, and unlike interpret-mode Pallas it composes
+    with shard_map/vmap/GSPMD on CPU test meshes.  (On TPU it measures
+    0.38-1.02x of hybrid — docs/RESULTS.md — hence the kernel.)"""
+    d = x.shape[1]
+    s = dense.brow_step.shape[0]
+    bcol_flat = dense.bcols.T.reshape(-1)  # [NB] tile -> col block
+    brow_flat = jnp.repeat(dense.brow_step, LANES)  # [NB] tile -> row block
+    xt = x.reshape(-1, B, d)
+    g = jnp.take(xt, bcol_flat, axis=0)  # [NB, B, d]
+    prod = jnp.einsum("nij,njd->nid", dense.a.astype(jnp.float32),
+                      g.astype(jnp.float32),
+                      preferred_element_type=jnp.float32)
+    out = jax.ops.segment_sum(prod, brow_flat, num_segments=num_rows // B,
+                              indices_are_sorted=True)
+    return out.reshape(num_rows, d)
+
+
 def _dense_call(dense: BlockDense, x: jnp.ndarray, num_rows: int):
+    if jax.default_backend() != "tpu":
+        # uniform dtype policy as the kernel below (tile-precision compute)
+        if x.dtype != dense.a.dtype:
+            x = x.astype(dense.a.dtype)
+        return _dense_reference(dense, x, num_rows)
+
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -354,9 +381,12 @@ def _dense_call(dense: BlockDense, x: jnp.ndarray, num_rows: int):
     )
     call = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((num_rows, d), jnp.float32),
+        # under shard_map the output varies over the same mesh axes as x
+        # (per-device kernel); vma must be declared or check_vma rejects it
+        out_shape=jax.ShapeDtypeStruct(
+            (num_rows, d), jnp.float32,
+            vma=getattr(jax.typeof(x), "vma", None) or frozenset()),
         grid_spec=grid_spec,
-        interpret=jax.default_backend() != "tpu",
     )
     # uniform dtypes through the MXU, at the TILE precision: the tile dtype
     # encodes the configured cache-precision budget (bf16 tiles under f32

@@ -27,6 +27,7 @@ are literally the same functions.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Dict, List, NamedTuple, Optional
 
@@ -149,6 +150,14 @@ class ShardedVRTrainer:
             else "hybrid"
         )
         self._adj_perm = is_gat and self.adj_format == "hybrid"
+        # dense MXU tier for the EVAL/refresh stacks (ops/block.py): the
+        # refresh runs inside shard_map, where the Pallas kernel executes
+        # per-device (no GSPMD propagation issue); sum/mean models only
+        _blockable = model.__class__.__name__ in (
+            "GCN", "GCN2", "APPNP", "GraphSAGE")
+        self._eval_block = (_blockable and self.adj_format == "hybrid"
+                            and cfg.adj_format in ("auto", "block"))
+        self._eval_block_force = _blockable and cfg.adj_format == "block"
 
         # ---- partition / permute / transforms (as single-chip) ----
         perm, ptr = partition_graph(data.adj_t, cfg.num_parts, seed=cfg.seed,
@@ -300,12 +309,57 @@ class ShardedVRTrainer:
         ]
 
     def _build_eval_batches(self):
-        stacks, plans, rounds = self._build_gas_stacks(self.cfg.eval_batch_size)
+        stacks, plans, rounds = self._build_gas_stacks(
+            self.cfg.eval_batch_size, try_block=True)
         self._eval_stacks = stacks
         self._halo_plans = plans
         self._eval_rounds = rounds
 
-    def _build_gas_stacks(self, group_size: int):
+    def _block_buckets(self, raw, r_pad, c_pad, rounds):
+        """Decide + size the dense tier for the sharded eval stacks: one
+        thresh/k/ovf/nb bucket across every device's batches (the refresh
+        scan stacks them), gated by the cost model on the largest batch and
+        a per-device resident-tile budget (all rounds live in HBM)."""
+        import ml_dtypes
+
+        from incagg_gnn_tpu.ops.block import (
+            marginal_thresh, measure_block_tier, plan_block_tier)
+        from incagg_gnn_tpu.ops.ell import choose_k
+
+        a_dtype = (ml_dtypes.bfloat16 if self.cfg.hist_dtype == "bfloat16"
+                   else np.float32)
+        ai = np.dtype(a_dtype).itemsize
+        d_hint = int(self.model.hist_dim)
+        batches = [b for lst in raw for b in lst]
+        if not batches:
+            return None
+        big = max(batches, key=lambda b: b.adj_args[1].size)
+        th = plan_block_tier(big.adj_args[0], big.adj_args[1], c_pad,
+                             x_itemsize=ai, a_itemsize=ai, d_hint=d_hint)
+        if th is None and self._eval_block_force:
+            th = marginal_thresh(ai, ai, d_hint)
+        if th is None:
+            return None
+        nb, k, rem_degs = 0, 8, []
+        for b in batches:
+            total, rem_deg = measure_block_tier(
+                b.adj_args[0], b.adj_args[1], r_pad, c_pad, th)
+            nb = max(nb, total)
+            k = max(k, choose_k(rem_deg))
+            rem_degs.append(rem_deg)
+        nb = max(nb, (r_pad // 128) * 4)  # empty-device batches: all filler
+        ovf = 8
+        for rd in rem_degs:
+            ovf = max(ovf, int(np.maximum(rd - k, 0).sum()))
+        ovf = _round_up(ovf, 128)
+        budget = int(os.environ.get("INCAGG_SHARD_TILE_BUDGET_MB",
+                                    "4096")) << 20
+        if not self._eval_block_force and nb * 16384 * ai * rounds > budget:
+            return None
+        return {"thresh": th, "k": k, "ovf_pad": ovf, "nb_pad": nb,
+                "a_dtype": a_dtype}
+
+    def _build_gas_stacks(self, group_size: int, try_block: bool = False):
         """Per-device GAS (IB+OB) batches with n_id in *global row* space
         (OB rows may belong to other slabs) + their halo plans."""
         lay = self.layout
@@ -327,10 +381,21 @@ class ShardedVRTrainer:
                 max_c = max(max_c, len(n_id))
                 max_e = max(max_e, len(col))
             raw.append(lst)
-        r_pad = _round_up(max_r, 8)
-        c_pad = _round_up(max_c, 8)
+        blk_args = None
+        if try_block and self._eval_block:
+            # 128-aligned row/col spaces are a tile-format requirement
+            rb_pad = _round_up(max_r, 128)
+            cb_pad = _round_up(max_c, 128)
+            blk_args = self._block_buckets(raw, rb_pad, cb_pad, rounds)
+        if blk_args is not None:
+            r_pad, c_pad = rb_pad, cb_pad
+            fmt, fmt_args = "block", blk_args
+        else:
+            r_pad = _round_up(max_r, 8)
+            c_pad = _round_up(max_c, 8)
+            fmt_args = self._hybrid_buckets(raw, r_pad, c_pad) if self.adj_format != "coo" else None
+            fmt = "fwd" if fmt_args else "coo"
         e_pad = _round_up(max_e, 8)
-        fmt_args = self._hybrid_buckets(raw, r_pad, c_pad) if self.adj_format != "coo" else None
 
         stacks = []
         packed_rounds = []
@@ -342,8 +407,7 @@ class ShardedVRTrainer:
                 gtrash = d * lay.slab + lay.local_trash()
                 per_round.append(
                     self._pack(b, r_pad, c_pad, e_pad, lay.local_trash(),
-                               n_id_fill=gtrash,
-                               fmt="fwd" if fmt_args else "coo", fmt_args=fmt_args)
+                               n_id_fill=gtrash, fmt=fmt, fmt_args=fmt_args)
                 )
             packed_rounds.append(per_round)
             stacks.append(jax.tree.map(lambda *xs: np.stack(xs), *per_round))
@@ -449,7 +513,14 @@ class ShardedVRTrainer:
             b = _DevBatch((np.zeros(1, np.int64), np.empty(0, np.int32), None),
                           np.empty(0, np.int64), np.empty(0, np.int64), 0, 0)
         rowptr, col, value = b.adj_args
-        if fmt == "bi":
+        if fmt == "block":
+            from incagg_gnn_tpu.ops.block import build_block_hybrid
+
+            adj = build_block_hybrid(
+                rowptr, col, value, r_pad, c_pad, thresh=fmt_args["thresh"],
+                a_dtype=fmt_args["a_dtype"], k=fmt_args["k"],
+                ovf_pad=fmt_args["ovf_pad"], nb_pad=fmt_args["nb_pad"])
+        elif fmt == "bi":
             adj = build_bi_hybrid_adj(rowptr, col, value, r_pad, c_pad, **fmt_args)
         elif fmt == "fwd":
             adj = build_hybrid_adj(rowptr, col, value, r_pad, c_pad,

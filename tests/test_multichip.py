@@ -67,6 +67,30 @@ class TestShardedVR:
         assert np.array_equal(single.perm, np.arange(data.num_nodes)) or True
         assert np.allclose(logits_sharded, logits_single, atol=2e-3, rtol=1e-3)
 
+    def test_refresh_block_tier_matches_hybrid(self, sbm_small):
+        """Sharded refresh with the forced dense MXU tier (adj_format=block)
+        == the hybrid sharded refresh — the Pallas path composes with
+        shard_map (reference XLA path on the CPU mesh)."""
+        data, in_c, out_c = sbm_small
+        cfg = GCNConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                        hidden_channels=24, out_channels=out_c, num_layers=2,
+                        dropout=0.0, drop_input=False)
+        outs = {}
+        for fmt in ("hybrid", "block"):
+            tcfg = TrainerConfig(num_parts=8, batch_size=1, vr_update=True,
+                                 seed=0, adj_format=fmt)
+            tr = ShardedVRTrainer(GCN(cfg), data, tcfg, mesh=make_mesh(4))
+            if fmt == "block":
+                assert tr._eval_block_force
+                from incagg_gnn_tpu.ops.block import BlockHybridAdj
+                adj0 = jax.tree.map(lambda x: x, tr._eval_stacks[0]).adj
+                assert isinstance(adj0, BlockHybridAdj)
+                tr.params = params
+            else:
+                params = tr.params
+            outs[fmt] = tr.refresh()
+        assert np.allclose(outs["hybrid"], outs["block"], atol=2e-3, rtol=1e-3)
+
     def test_sharded_training_learns(self, sbm_small):
         data, in_c, out_c = sbm_small
         cfg = SAGEConfig(num_nodes=data.num_nodes, in_channels=in_c,
