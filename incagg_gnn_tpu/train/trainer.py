@@ -439,6 +439,7 @@ class Trainer:
             self.hist = self.hist._replace(emb=emb)
         if self.cfg.device_timeout_s > 0:
             loss = self.watchdog.wait(loss, "fused epoch")
+        loss = float(loss)  # force async dispatch BEFORE timing the epoch
         dt = time.perf_counter() - t0
         self._steps_since_refresh = getattr(
             self, "_steps_since_refresh", 0) + len(batches)
@@ -529,7 +530,10 @@ class Trainer:
     def evaluate(self) -> Dict[str, float]:
         """Layer-wise inference + cache refresh, then micro-F1 on all splits
         (main.py:231-249)."""
-        return self.metrics_from_logits(self._refresh())
+        t0 = time.perf_counter()
+        logits = self._refresh()
+        self._last_eval_s = time.perf_counter() - t0  # refresh incl. sync
+        return self.metrics_from_logits(logits)
 
     def metrics_from_logits(self, logits: np.ndarray) -> Dict[str, float]:
         """Split accuracies from already-computed full-graph logits (in the
@@ -541,7 +545,9 @@ class Trainer:
             "val_acc": compute_micro_f1(logits, d.y, d.val_mask),
             "test_acc": compute_micro_f1(logits, d.y, d.test_mask),
         }
-        self.metrics.log("eval", **out)
+        eval_s = getattr(self, "_last_eval_s", None)
+        self.metrics.log(
+            "eval", **out, **({"eval_s": eval_s} if eval_s is not None else {}))
         return out
 
     def full_forward(self, data: GraphData) -> np.ndarray:
