@@ -225,6 +225,9 @@ class SubgraphLoader:
 
     # ---------------- collate ----------------
     def _collate(self, cluster_ids: np.ndarray, epoch: int, step: int) -> HostBatch:
+        from incagg_gnn_tpu.utils.heartbeat import beat
+
+        beat()  # liveness for the supervisor's stall watchdog
         idx, offs, cnts = self._group_nodes(cluster_ids)
         bs = int(idx.shape[0])
         if self.mode == "ib":
@@ -385,6 +388,9 @@ class SubgraphLoader:
         return -(-self.num_clusters // self.batch_size)
 
     def _to_device(self, hb: HostBatch) -> HostBatch:
+        from incagg_gnn_tpu.utils.heartbeat import beat
+
+        beat()  # between host->device stagings (the wedge-prone step)
         if isinstance(hb.device.n_id, jnp.ndarray):
             return hb
         return dataclasses.replace(

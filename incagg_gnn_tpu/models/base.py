@@ -34,6 +34,7 @@ from incagg_gnn_tpu.history import HistoryState, init_history
 from incagg_gnn_tpu.loader import SubgraphBatch
 from incagg_gnn_tpu.models.nn import pad_cols, pad_rows
 from incagg_gnn_tpu.ops.agg import spmm, spmm_reduce
+from incagg_gnn_tpu.utils.heartbeat import beat as _heartbeat
 from incagg_gnn_tpu.ops.spmm import PaddedAdj
 
 Params = Any
@@ -442,6 +443,7 @@ class ScalableGNN:
             from incagg_gnn_tpu.utils.prefetch import prefetch
 
             for layer in range(self.cfg.num_layers):
+                _heartbeat()
                 jfn = self._refresh_layer_scan_fn(layer, vr, use_aggregation)
                 if resident:
                     stacks = iter(cached)
@@ -459,6 +461,7 @@ class ScalableGNN:
             for layer in range(self.cfg.num_layers):
                 jfn = self._refresh_layer_fn(layer, vr, use_aggregation)
                 for hb in batches:
+                    _heartbeat()
                     hist, out_table = jfn(
                         params, state, hist, x_table, out_table, hb.device
                     )

@@ -440,6 +440,9 @@ class Trainer:
         if self.cfg.device_timeout_s > 0:
             loss = self.watchdog.wait(loss, "fused epoch")
         loss = float(loss)  # force async dispatch BEFORE timing the epoch
+        from incagg_gnn_tpu.utils.heartbeat import beat
+
+        beat()
         dt = time.perf_counter() - t0
         self._steps_since_refresh = getattr(
             self, "_steps_since_refresh", 0) + len(batches)
@@ -473,8 +476,11 @@ class Trainer:
             )
         from incagg_gnn_tpu.utils.prefetch import prefetch
 
+        from incagg_gnn_tpu.utils.heartbeat import beat
+
         source = prebuilt if prebuilt is not None else iter(self.train_loader)
         for hb in prefetch(source, depth=2):
+            beat()
             if period and steps > 0 and steps % period == 0:
                 self._refresh()
             if not self._train_mask_host[hb.n_id[: hb.batch_size]].any():

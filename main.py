@@ -61,18 +61,28 @@ def _maybe_inject_fault(epoch: int, ckpt_dir):
     if spec != "always":
         if not ckpt_dir:
             return
+        kind, _, at = spec.partition("=")
         marker = os.path.join(ckpt_dir, ".fault_injected")
-        if epoch != int(spec.split("=", 1)[1]) or os.path.exists(marker):
+        if epoch != int(at) or os.path.exists(marker):
             return
         with open(marker, "w"):
             pass
+        if kind == "hang_epoch":
+            # simulate the observed transport wedge (main thread parked in
+            # tcp_recvmsg forever, no heartbeat): only the supervisor's
+            # stall watchdog can recover this
+            log.warning("INCAGG_FAULT_INJECT: hanging forever at epoch %d",
+                        epoch)
+            while True:
+                time.sleep(3600)
     raise RuntimeError(
         "UNAVAILABLE: TPU worker process crashed or restarted "
         "(injected by INCAGG_FAULT_INJECT)"
     )
 
 
-def _supervise(raw_argv, retries: int, ckpt_dir: str) -> int:
+def _supervise(raw_argv, retries: int, ckpt_dir: str,
+               stall_s: float = 1800.0) -> int:
     """Elastic recovery (SURVEY §5.3): run the training CLI in a child
     process; when the child dies of device loss (exit ``DEVICE_LOSS_EXIT``),
     relaunch it — the child restores the newest checkpoint itself via
@@ -84,16 +94,17 @@ def _supervise(raw_argv, retries: int, ckpt_dir: str) -> int:
     import json
     import subprocess
 
-    # strip --supervise[=N] so the child runs the plain training path
+    # strip --supervise[=N] / --supervise-stall-s so the child runs the
+    # plain training path
     child_argv, skip = [], False
     for a in raw_argv:
         if skip:
             skip = False
             continue
-        if a == "--supervise":
+        if a in ("--supervise", "--supervise-stall-s"):
             skip = True
             continue
-        if a.startswith("--supervise="):
+        if a.startswith(("--supervise=", "--supervise-stall-s=")):
             continue
         child_argv.append(a)
 
@@ -114,13 +125,46 @@ def _supervise(raw_argv, retries: int, ckpt_dir: str) -> int:
                 continue
         return -1
 
+    from incagg_gnn_tpu.utils.heartbeat import ENV_VAR as HB_ENV
+
+    hb_path = os.path.join(ckpt_dir, ".heartbeat")
+    env = {**os.environ, HB_ENV: hb_path}
+
+    def run_child() -> int:
+        """Run one attempt; kill it (SIGKILL, exact pid) if its heartbeat
+        goes stale — the transport-wedge mode (thread parked in tcp_recvmsg
+        with zero bytes moving, observed on the remote-chip link) that no
+        in-process watchdog can escape."""
+        p = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), *child_argv], env=env
+        )
+        start = time.time()
+        poll_s = 10.0 if stall_s <= 0 else max(0.5, min(10.0, stall_s / 3))
+        while True:
+            try:
+                return p.wait(timeout=poll_s)
+            except subprocess.TimeoutExpired:
+                pass
+            if stall_s <= 0:
+                continue
+            try:
+                last = os.path.getmtime(hb_path)
+            except OSError:
+                last = start  # no beat yet: measure from launch
+            if time.time() - max(last, start) > stall_s:
+                log.error(
+                    f"supervisor: no heartbeat for {stall_s:.0f}s — killing "
+                    f"stalled child {p.pid}"
+                )
+                p.kill()
+                p.wait()
+                return DEVICE_LOSS_EXIT
+
     attempt, last_epoch = 0, ckpt_epoch()
     while True:
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), *child_argv]
-        )
-        if p.returncode != DEVICE_LOSS_EXIT:
-            return p.returncode
+        rc = run_child()
+        if rc != DEVICE_LOSS_EXIT:
+            return rc
         epoch = ckpt_epoch()
         if epoch > last_epoch:
             attempt, last_epoch = 0, epoch  # progress — reset the budget
@@ -184,6 +228,12 @@ def main(argv=None):
                          "watchdog timeout), restart it from the latest "
                          "checkpoint — up to N consecutive times without "
                          "checkpoint progress (requires --checkpoint-dir)")
+    ap.add_argument("--supervise-stall-s", type=float, default=1800.0,
+                    help="with --supervise: kill + restart the child when "
+                         "its liveness heartbeat goes stale this long — "
+                         "recovers silent transport wedges (a hung transfer "
+                         "never raises, so only the supervisor can act); "
+                         "0 disables")
     ap.add_argument("--spill", action="store_true",
                     help="keep history caches in host DRAM streamed through "
                          "the C++ staging worker (SpillVRTrainer — the "
@@ -211,7 +261,8 @@ def main(argv=None):
         if not args.checkpoint_dir:
             ap.error("--supervise requires --checkpoint-dir")
         raw = list(argv) if argv is not None else sys.argv[1:]
-        rc = _supervise(raw, args.supervise, args.checkpoint_dir)
+        rc = _supervise(raw, args.supervise, args.checkpoint_dir,
+                        stall_s=args.supervise_stall_s)
         if rc != 0:
             sys.exit(rc)
         return

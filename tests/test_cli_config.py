@@ -317,3 +317,37 @@ class TestCheckpointVariants:
         t3 = Trainer(GCN(cfg64), data, tcfg)
         with pytest.raises(ValueError, match="different architecture"):
             cm.maybe_restore(t3)
+
+
+class TestStallRecovery:
+    def test_supervisor_kills_and_restarts_stalled_child(self, tmp_path):
+        """A child wedged in a silent transport hang (no exception, no
+        heartbeat — the tcp_recvmsg failure mode observed on the remote-chip
+        link) is killed by the supervisor's stall watchdog and restarted
+        from the latest checkpoint to completion."""
+        import json
+        import subprocess
+        import sys
+
+        ck = str(tmp_path / "ck")
+        env = dict(os.environ, INCAGG_PLATFORM="cpu",
+                   INCAGG_FAULT_INJECT="hang_epoch=1")
+        p = subprocess.run(
+            [sys.executable, os.path.join(REPO, "main.py"),
+             "--model", os.path.join(REPO, "conf/model/gcn.yaml"),
+             "--dataset", "sbm-small",
+             "--checkpoint-dir", ck, "--supervise", "2",
+             "--supervise-stall-s", "6",
+             "epochs=3", "num_parts=4", "batch_size=2", "vr_update=true"],
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=900,
+        )
+        out = p.stdout + p.stderr
+        assert p.returncode == 0, out
+        assert os.path.exists(os.path.join(ck, ".fault_injected")), out
+        assert "no heartbeat" in out, out
+        assert "Epoch 0002" in out, out
+        metas = sorted(f for f in os.listdir(ck) if f.endswith(".meta.json"))
+        with open(os.path.join(ck, metas[-1])) as f:
+            assert json.load(f)["epoch"] == 2
+        # the supervisor wrote/monitored the heartbeat file
+        assert os.path.exists(os.path.join(ck, ".heartbeat")), out
