@@ -35,6 +35,7 @@ from incagg_gnn_tpu.loader import HostBatch
 from incagg_gnn_tpu.models.base import ScalableGNN, StreamedPulls
 from incagg_gnn_tpu.models.nn import pad_cols
 from incagg_gnn_tpu.train.steps import masked_loss
+from incagg_gnn_tpu.utils.heartbeat import beat as _heartbeat
 from incagg_gnn_tpu.train.trainer import Trainer, TrainerConfig
 
 
@@ -197,6 +198,7 @@ class SpillVRTrainer(Trainer):
                 yield hb, self._stage_pulls(hb)
 
         for hb, pulls in prefetch(staged(), depth=2):
+            _heartbeat()
             self.rng, key = jax.random.split(self.rng)
             (self.params, self.opt_state, self.state, metrics) = (
                 self._vr_step_streamed(
@@ -230,6 +232,7 @@ class SpillVRTrainer(Trainer):
         total_loss = total_n = 0.0
         steps = 0
         for hb in self.train_loader:
+            _heartbeat()
             if not self._train_mask_host[hb.n_id[: hb.batch_size]].any():
                 continue
             pulled = self._stage_gas_pulls(hb)
@@ -313,6 +316,7 @@ class SpillVRTrainer(Trainer):
                 for j in range(depth):
                     self.spill_in[layer].async_pull(pull_idx[j])
             for i, hb in enumerate(batches):
+                _heartbeat()
                 bs = hb.batch_size
                 if layer == 0:
                     x_in = jnp.take(self.tables.x, hb.device.n_id, axis=0)
