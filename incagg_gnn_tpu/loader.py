@@ -86,8 +86,9 @@ class PadBuckets:
     k_t: int = 0  # ELL width, transpose
     ovf: int = 0  # COO overflow pad, forward
     ovf_t: int = 0  # COO overflow pad, transpose
-    # block-tier buckets (block-fwd format)
-    nb: int = 0  # padded dense-tile count
+    # block-tier buckets (block-fwd / block formats)
+    nb: int = 0  # padded dense-tile count, forward
+    nb_t: int = 0  # padded dense-tile count, transpose ('block' format)
     blk: int = 0  # per-block edge threshold: 0 undecided, -1 tier off
 
     def fits(self, r: int, c: int, e: int) -> bool:
@@ -140,7 +141,8 @@ class SubgraphLoader:
         ``block_dtype``/``block_d_hint``: dense-tile dtype (defaults f32)
         and the feature width the cost model assumes."""
         assert mode in ("gas", "ib", "ns")
-        assert adj_format in ("coo", "hybrid", "hybrid-fwd", "block-fwd")
+        assert adj_format in ("coo", "hybrid", "hybrid-fwd", "block-fwd",
+                              "block")
         self.adj_format = adj_format
         self.block_dtype = np.float32 if block_dtype is None else block_dtype
         self.block_d_hint = block_d_hint
@@ -278,11 +280,12 @@ class SubgraphLoader:
         if self.adj_format == "coo":
             return build_padded_adj(rowptr, col, value, b.rows, b.cols, b.edges)
 
-        if self.adj_format == "block-fwd":
-            blk = self._build_block_adj(rowptr, col, value)
+        if self.adj_format in ("block-fwd", "block"):
+            blk = self._build_block_adj(rowptr, col, value,
+                                        bi=self.adj_format == "block")
             if blk is not None:
                 return blk
-            # tier rejected for this graph -> plain forward hybrid below
+            # tier rejected for this graph -> plain hybrid below
 
         deg = np.diff(rowptr)
         k_need = choose_k(deg)
@@ -313,15 +316,17 @@ class SubgraphLoader:
                                    ovf_pad_t=b.ovf_t,
                                    with_perm=self.adj_perm)
 
-    def _build_block_adj(self, rowptr, col, value):
-        """Dense-tier build for 'block-fwd'.  Decides once (first collate)
-        whether the tier pays — cost model plus 'tiles must fit the device
-        cache' (streaming inflated tiles would be a net loss) — then keeps
-        static tile buckets across batches.  Returns None when the tier is
-        off (caller falls back to plain hybrid-fwd)."""
+    def _build_block_adj(self, rowptr, col, value, bi: bool = False):
+        """Dense-tier build for 'block-fwd' (forward-only) / 'block'
+        (forward + exact-transpose pair for training).  Decides once (first
+        collate) whether the tier pays — cost model plus 'tiles must fit the
+        device cache' (streaming inflated tiles would be a net loss) — then
+        keeps static tile buckets across batches.  Returns None when the
+        tier is off (caller falls back to the hybrid formats)."""
         from incagg_gnn_tpu.ops.block import (
-            B as BLK, build_block_hybrid, marginal_thresh, measure_block_tier,
-            plan_block_tier)
+            B as BLK, build_bi_block_hybrid, build_block_hybrid,
+            marginal_thresh, measure_block_tier, plan_block_tier,
+            transpose_csr_host)
         from incagg_gnn_tpu.ops.ell import choose_k
 
         b = self.buckets
@@ -348,6 +353,8 @@ class SubgraphLoader:
                 per = (total * BLK * BLK * a_itemsize
                        + b.rows * k_est * 8 + (b.rows + b.cols) * 4
                        + int(np.maximum(rem_deg - k_est, 0).sum()) * 12)
+                if bi:  # the transpose pair roughly doubles the bytes
+                    per *= 2
                 budget = (self.hbm_budget if self.hbm_budget is not None
                           else 1_500_000_000)
                 if not self.block_force and per * len(self) > budget:
@@ -376,11 +383,36 @@ class SubgraphLoader:
             b.ovf, grew = o_pad, True
         if total > b.nb:
             b.nb, grew = total, True
+        if not bi:
+            if grew:
+                self.recompile_count += 1
+            return build_block_hybrid(
+                rowptr, col, value, b.rows, b.cols, thresh=b.blk,
+                a_dtype=self.block_dtype, k=b.k, ovf_pad=b.ovf, nb_pad=b.nb,
+            )
+
+        # transpose buckets (measured on the actual transpose: its row-block
+        # run padding differs from the forward's even though the dense block
+        # SET is the exact transpose)
+        transpose = transpose_csr_host(rowptr, col, value, b.cols)
+        total_t, rem_deg_t = measure_block_tier(transpose[0], transpose[1],
+                                                b.cols, b.rows, b.blk)
+        kt_need = choose_k(rem_deg_t)
+        ovft_need = int(np.maximum(rem_deg_t - max(b.k_t, kt_need), 0).sum())
+        if kt_need > b.k_t:
+            b.k_t, grew = kt_need, True
+        ot_pad = max(8, ((ovft_need + 127) // 128) * 128)
+        if ot_pad > b.ovf_t:
+            b.ovf_t, grew = ot_pad, True
+        if total_t > b.nb_t:
+            b.nb_t, grew = total_t, True
         if grew:
             self.recompile_count += 1
-        return build_block_hybrid(
+        return build_bi_block_hybrid(
             rowptr, col, value, b.rows, b.cols, thresh=b.blk,
-            a_dtype=self.block_dtype, k=b.k, ovf_pad=b.ovf, nb_pad=b.nb,
+            a_dtype=self.block_dtype, k=b.k, k_t=b.k_t, ovf_pad=b.ovf,
+            ovf_pad_t=b.ovf_t, nb_pad=b.nb, nb_pad_t=b.nb_t,
+            transpose=transpose,
         )
 
     # ---------------- iteration ----------------
@@ -413,7 +445,8 @@ class SubgraphLoader:
         b = self.buckets
         per = (b.rows + b.cols) * 4 + b.edges * 12 + b.rows * (b.k + b.k_t) * 8
         if b.blk > 0:  # dense-tier tiles ride along with each batch
-            per += b.nb * 128 * 128 * np.dtype(self.block_dtype).itemsize
+            per += ((b.nb + b.nb_t) * 128 * 128
+                    * np.dtype(self.block_dtype).itemsize)
         budget = self.hbm_budget if self.hbm_budget is not None else 1_500_000_000
         return per * len(self) < budget
 

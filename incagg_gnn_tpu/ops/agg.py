@@ -16,8 +16,11 @@ edges/s; hybrid ELL 106M edges/s.
 from __future__ import annotations
 
 from incagg_gnn_tpu.ops.block import (
+    BiBlockHybridAdj,
     BlockHybridAdj,
     spmm_block as _blk_sum,
+    spmm_block_bi as _bblk_sum,
+    spmm_block_bi_mean as _bblk_mean,
     spmm_block_mean as _blk_mean,
 )
 from incagg_gnn_tpu.ops.ell import (
@@ -37,10 +40,12 @@ from incagg_gnn_tpu.ops.spmm import (
     spmm_min as _coo_min,
 )
 
-AnyAdj = (PaddedAdj, HybridAdj, BiHybridAdj, BlockHybridAdj)
+AnyAdj = (PaddedAdj, HybridAdj, BiHybridAdj, BlockHybridAdj, BiBlockHybridAdj)
 
 
 def spmm(adj, x):
+    if isinstance(adj, BiBlockHybridAdj):
+        return _bblk_sum(adj, x)
     if isinstance(adj, BlockHybridAdj):
         return _blk_sum(adj, x)
     if isinstance(adj, BiHybridAdj):
@@ -51,6 +56,8 @@ def spmm(adj, x):
 
 
 def spmm_mean(adj, x):
+    if isinstance(adj, BiBlockHybridAdj):
+        return _bblk_mean(adj, x)
     if isinstance(adj, BlockHybridAdj):
         return _blk_mean(adj, x)
     if isinstance(adj, BiHybridAdj):
@@ -61,7 +68,7 @@ def spmm_mean(adj, x):
 
 
 def spmm_max(adj, x):
-    if isinstance(adj, BlockHybridAdj):
+    if isinstance(adj, (BlockHybridAdj, BiBlockHybridAdj)):
         raise TypeError(
             "max aggregation is not expressible on the dense MXU tier; "
             "use hybrid/coo formats for max/min models (trainer gates this)"
@@ -74,7 +81,8 @@ def spmm_max(adj, x):
 
 
 def spmm_min(adj, x):
-    if isinstance(adj, (BiHybridAdj, HybridAdj, BlockHybridAdj)):
+    if isinstance(adj, (BiHybridAdj, HybridAdj, BlockHybridAdj,
+                        BiBlockHybridAdj)):
         return -spmm_max(adj, -x)
     return _coo_min(adj, x)
 
@@ -98,6 +106,8 @@ def binarized_like(adj):
 def edge_counts(adj, batch_size):
     """(#in-batch edges, #out-of-batch edges) — the reference's per-step
     neighbor counts (base.py:369-378)."""
+    if isinstance(adj, BiBlockHybridAdj):
+        adj = adj.fwd
     if isinstance(adj, BlockHybridAdj):
         import jax.numpy as jnp
 

@@ -405,3 +405,170 @@ def spmm_block(adj: BlockHybridAdj, x: jnp.ndarray) -> jnp.ndarray:
 
 def spmm_block_mean(adj: BlockHybridAdj, x: jnp.ndarray) -> jnp.ndarray:
     return spmm_block(adj, x) / jnp.maximum(adj.deg, 1.0)[:, None]
+
+
+# ---------------------------------------------------------------------------
+# Bidirectional tier: training forward + transpose backward on the MXU.
+#
+# XLA's autodiff of the Pallas kernel is unavailable (no VJP rule) and its
+# autodiff of the _dense_reference gather would scatter-add; instead dx =
+# A^T @ g is computed as *another* block-tier aggregation over the
+# host-precomputed transpose — the same design as BiHybridAdj (ops/ell.py).
+# Block (i, j) of A holds exactly the edges of block (j, i) of A^T, so
+# building the transpose with the SAME per-block edge threshold densifies
+# exactly the transposed tiles and the remainders are mutual transposes:
+# the VJP is exact.
+# ---------------------------------------------------------------------------
+
+
+class BiBlockHybridAdj(NamedTuple):
+    """Forward + transposed block-hybrid pair — the MXU training format.
+
+    Reference counterpart: none (the reference's training SpMM backward is
+    torch autograd over cuSPARSE).  Drop-in for ``BiHybridAdj`` in sum/mean
+    aggregations (ops/agg.py dispatch)."""
+
+    fwd: BlockHybridAdj  # [R x C]
+    bwd: BlockHybridAdj  # [C x R]
+
+    @property
+    def num_rows(self) -> int:
+        return self.fwd.num_rows
+
+    @property
+    def deg(self) -> jnp.ndarray:
+        return self.fwd.deg
+
+    def binarized(self) -> "BiBlockHybridAdj":
+        return BiBlockHybridAdj(self.fwd.binarized(), self.bwd.binarized())
+
+    def mask_in_batch(self, batch_size) -> "BiBlockHybridAdj":
+        """IB-only ablation (reference gcn.py:117-141): forward drops edges
+        whose SOURCE (column) id >= batch_size; the transpose drops the same
+        edges, which live in its ROWS >= batch_size.  Degrees recomputed from
+        the surviving dense + remainder entries."""
+        col_of = jnp.arange(B, dtype=jnp.int32)
+        # fwd: mask tile columns by global col id
+        f = self.fwd
+        bcol_flat = f.dense.bcols.T.reshape(-1)  # [NB] tile -> col block
+        keep_f = (bcol_flat[:, None] * B + col_of[None, :]) < batch_size
+        a_f = jnp.where(keep_f[:, None, :], f.dense.a, 0)
+        rem_f = f.rem.mask_in_batch(batch_size)
+        deg = rem_f.deg + _dense_row_counts(
+            f.dense._replace(a=a_f), f.num_rows)
+        fwd = f._replace(dense=f.dense._replace(a=a_f), rem=rem_f, deg=deg)
+        # bwd: mask tile rows by global row id
+        bw = self.bwd
+        brow_flat = jnp.repeat(bw.dense.brow_step, LANES)  # [NB]
+        keep_b = (brow_flat[:, None] * B + col_of[None, :]) < batch_size
+        a_b = jnp.where(keep_b[:, :, None], bw.dense.a, 0)
+        row_keep = (jnp.arange(bw.rem.num_rows) < batch_size)[:, None]
+        rem_b = bw.rem._replace(
+            ell_vals=jnp.where(row_keep, bw.rem.ell_vals, 0.0),
+            ovf_vals=jnp.where(
+                jnp.take(row_keep[:, 0], bw.rem.ovf_rows),
+                bw.rem.ovf_vals, 0.0),
+        )
+        bwd = bw._replace(dense=bw.dense._replace(a=a_b), rem=rem_b)
+        return BiBlockHybridAdj(fwd, bwd)
+
+
+def _dense_row_counts(dense: BlockDense, num_rows: int) -> jnp.ndarray:
+    """True (nonzero) entry count per row of the dense tier."""
+    counts = (dense.a != 0).sum(axis=2).astype(jnp.float32)  # [NB, B]
+    brow_flat = jnp.repeat(dense.brow_step, LANES)
+    per_block = jax.ops.segment_sum(
+        counts, brow_flat, num_segments=num_rows // B,
+        indices_are_sorted=True)
+    return per_block.reshape(num_rows)
+
+
+@jax.custom_vjp
+def _spmm_block_bi(fwd: BlockHybridAdj, bwd: BlockHybridAdj,
+                   x: jnp.ndarray) -> jnp.ndarray:
+    return spmm_block(fwd, x)
+
+
+def _spmm_block_bi_fw(fwd, bwd, x):
+    return spmm_block(fwd, x), (fwd, bwd)
+
+
+def _zero_cotangent(t):
+    if jnp.issubdtype(t.dtype, jnp.inexact):
+        return jnp.zeros_like(t)
+    return np.zeros(t.shape, dtype=jax.dtypes.float0)
+
+
+def _spmm_block_bi_bw(res, g):
+    fwd, bwd = res
+    dx = spmm_block(bwd, g.astype(jnp.float32))
+    return (
+        jax.tree.map(_zero_cotangent, fwd),
+        jax.tree.map(_zero_cotangent, bwd),
+        dx,
+    )
+
+
+_spmm_block_bi.defvjp(_spmm_block_bi_fw, _spmm_block_bi_bw)
+
+
+def spmm_block_bi(adj: BiBlockHybridAdj, x: jnp.ndarray) -> jnp.ndarray:
+    """Weighted-sum aggregation, MXU tier forward AND backward."""
+    return _spmm_block_bi(adj.fwd, adj.bwd, x)
+
+
+def spmm_block_bi_mean(adj: BiBlockHybridAdj, x: jnp.ndarray) -> jnp.ndarray:
+    return spmm_block_bi(adj, x) / jnp.maximum(adj.fwd.deg, 1.0)[:, None]
+
+
+def transpose_csr_host(rowptr: np.ndarray, col: np.ndarray,
+                       value: Optional[np.ndarray], num_cols: int):
+    """Host CSR transpose (C++ counting sort when available)."""
+    from incagg_gnn_tpu.utils.native import get_native_lib
+
+    lib = get_native_lib()
+    if lib is not None and col.size:
+        return lib.transpose_csr(rowptr, col, value, num_cols)
+    r = int(rowptr.shape[0] - 1)
+    deg = np.diff(rowptr)
+    rows = np.repeat(np.arange(r, dtype=np.int64), deg)
+    order = np.argsort(col, kind="stable")
+    t_rowptr = np.zeros(num_cols + 1, dtype=np.int64)
+    np.add.at(t_rowptr, col.astype(np.int64) + 1, 1)
+    t_rowptr = np.cumsum(t_rowptr)
+    t_col = rows[order].astype(np.int32)
+    t_val = value[order].astype(np.float32) if value is not None else None
+    return t_rowptr, t_col, t_val
+
+
+def build_bi_block_hybrid(
+    rowptr: np.ndarray,
+    col: np.ndarray,
+    value: Optional[np.ndarray],
+    num_rows_pad: int,
+    num_cols_pad: int,
+    thresh: int,
+    a_dtype=np.float32,
+    k: Optional[int] = None,
+    k_t: Optional[int] = None,
+    ovf_pad: Optional[int] = None,
+    ovf_pad_t: Optional[int] = None,
+    nb_pad: Optional[int] = None,
+    nb_pad_t: Optional[int] = None,
+    transpose: Optional[tuple] = None,
+) -> BiBlockHybridAdj:
+    """Build the forward block-hybrid and its exact transpose.
+
+    ``transpose`` optionally supplies a precomputed host
+    ``(t_rowptr, t_col, t_val)`` (the loader measures the transpose for
+    bucket sizing and passes it through to avoid a second transpose)."""
+    fwd = build_block_hybrid(rowptr, col, value, num_rows_pad, num_cols_pad,
+                             thresh, a_dtype=a_dtype, k=k, ovf_pad=ovf_pad,
+                             nb_pad=nb_pad)
+    if transpose is None:
+        transpose = transpose_csr_host(rowptr, col, value, num_cols_pad)
+    t_rowptr, t_col, t_val = transpose
+    bwd = build_block_hybrid(t_rowptr, t_col, t_val, num_cols_pad,
+                             num_rows_pad, thresh, a_dtype=a_dtype, k=k_t,
+                             ovf_pad=ovf_pad_t, nb_pad=nb_pad_t)
+    return BiBlockHybridAdj(fwd=fwd, bwd=bwd)

@@ -151,8 +151,13 @@ class Trainer:
             # sweeps (forward-only hybrid) showed no instability.
             sizes = np.sort(np.diff(ptr))
             est_rows = int(sizes[-min(cfg.batch_size, len(sizes)):].sum())
+            # training rides the MXU tier too ('block' = forward + exact
+            # transpose pair, ops/block.py BiBlockHybridAdj); its cost model
+            # + device-cache budget still auto-reject per graph, falling
+            # back to the bi-hybrid pair inside the loader
             train_fmt = ("coo" if needs_coo_train or est_rows < 4096
-                         else "hybrid")
+                         else ("block" if blockable and not is_gat
+                               else "hybrid"))
             # the tier's own cost model + device-cache budget still gate it
             eval_fmt = "block-fwd" if blockable else "hybrid-fwd"
         else:
@@ -160,7 +165,11 @@ class Trainer:
             if cfg.adj_format == "hybrid":
                 eval_fmt = "hybrid-fwd"
             elif cfg.adj_format == "block":
-                train_fmt, eval_fmt = "hybrid", "block-fwd"
+                train_fmt, eval_fmt = "block", "block-fwd"
+                if needs_coo_train:
+                    raise ValueError(
+                        "adj_format=block is incompatible with edge_dropout"
+                        " (value-level masking needs COO)")
                 if not blockable:
                     raise ValueError(
                         f"adj_format=block unsupported here: model "
@@ -183,6 +192,7 @@ class Trainer:
             num_neighbors=cfg.num_neighbors, shuffle=True, seed=cfg.seed,
             adj_format=train_fmt,
             adj_perm=is_gat and train_fmt == "hybrid",
+            **(blk_kwargs if train_fmt == "block" else {}),
         )
         self.eval_loader = EvalSubgraphLoader(
             data, ptr, batch_size=cfg.eval_batch_size, adj_format=eval_fmt,

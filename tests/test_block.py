@@ -235,3 +235,139 @@ class TestDuplicateEdges:
             got = np.asarray(spmm_block(adj, x))
             np.testing.assert_allclose(want, got, atol=1e-4,
                                        err_msg=f"native={native}")
+
+
+class TestBiBlock:
+    """Bidirectional tier: training forward + exact-transpose backward."""
+
+    def _pair(self, rng, bipartite=False):
+        from incagg_gnn_tpu.ops.block import build_bi_block_hybrid
+        from incagg_gnn_tpu.ops.ell import build_bi_hybrid_adj
+
+        g = clustered_graph(rng, n=600, clusters=6)
+        r_pad, c_pad = (512, 640) if bipartite else (640, 640)
+        if bipartite:  # truncate rows: [R x C] rectangular case
+            rowptr = g.rowptr[: r_pad + 1]
+            col, val = g.col[: rowptr[-1]], g.value[: rowptr[-1]]
+        else:
+            rowptr, col, val = g.rowptr, g.col, g.value
+        blk = build_bi_block_hybrid(rowptr, col, val, r_pad, c_pad, thresh=24)
+        hyb = build_bi_hybrid_adj(rowptr, col, val, r_pad, c_pad)
+        return blk, hyb, r_pad, c_pad
+
+    def test_forward_and_grad_match_bihybrid(self, rng):
+        import jax
+
+        from incagg_gnn_tpu.ops.agg import spmm, spmm_mean
+
+        for bipartite in (False, True):
+            blk, hyb, r_pad, c_pad = self._pair(rng, bipartite)
+            x = jnp.asarray(rng.standard_normal((c_pad, 32)), jnp.float32)
+            w = jnp.asarray(rng.standard_normal((r_pad, 32)), jnp.float32)
+            np.testing.assert_allclose(
+                np.asarray(spmm(blk, x)), np.asarray(spmm(hyb, x)), atol=1e-4)
+
+            def loss(fn, adj):
+                return lambda x: (fn(adj, x) * w).sum()
+
+            for fn in (spmm, spmm_mean):
+                gb = jax.grad(loss(fn, blk))(x)
+                gh = jax.grad(loss(fn, hyb))(x)
+                np.testing.assert_allclose(np.asarray(gb), np.asarray(gh),
+                                           atol=1e-3, rtol=1e-4)
+
+    def test_bwd_is_exact_transpose(self, rng):
+        from incagg_gnn_tpu.ops.block import spmm_block
+
+        blk, hyb, r_pad, c_pad = self._pair(rng)
+        gy = jnp.asarray(rng.standard_normal((r_pad, 16)), jnp.float32)
+        from incagg_gnn_tpu.ops.ell import spmm_hybrid
+
+        np.testing.assert_allclose(
+            np.asarray(spmm_block(blk.bwd, gy)),
+            np.asarray(spmm_hybrid(hyb.bwd, gy)), atol=1e-4)
+
+    def test_mask_in_batch_matches_bihybrid(self, rng):
+        import jax
+
+        from incagg_gnn_tpu.ops.agg import spmm, spmm_mean
+
+        blk, hyb, r_pad, c_pad = self._pair(rng)
+        bs = 300
+        mb, mh = blk.mask_in_batch(bs), hyb.mask_in_batch(bs)
+        np.testing.assert_allclose(np.asarray(mb.deg), np.asarray(mh.fwd.deg),
+                                   atol=1e-5)
+        x = jnp.asarray(rng.standard_normal((c_pad, 16)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((r_pad, 16)), jnp.float32)
+        for fn in (spmm, spmm_mean):
+            np.testing.assert_allclose(np.asarray(fn(mb, x)),
+                                       np.asarray(fn(mh, x)), atol=1e-4)
+            gb = jax.grad(lambda x: (fn(mb, x) * w).sum())(x)
+            gh = jax.grad(lambda x: (fn(mh, x) * w).sum())(x)
+            np.testing.assert_allclose(np.asarray(gb), np.asarray(gh),
+                                       atol=1e-3, rtol=1e-4)
+
+
+class TestBiBlockLoaderTrainer:
+    def test_train_loader_block_matches_hybrid(self, rng):
+        import jax
+
+        from incagg_gnn_tpu.graph.csr import gcn_norm, permute
+        from incagg_gnn_tpu.graph.datasets import make_sbm
+        from incagg_gnn_tpu.graph.partition import partition_graph
+        from incagg_gnn_tpu.loader import SubgraphLoader
+        from incagg_gnn_tpu.ops.agg import spmm
+        from incagg_gnn_tpu.ops.block import BiBlockHybridAdj
+
+        data, _, _ = make_sbm(num_nodes=800, num_classes=4, num_features=8,
+                              avg_degree=30.0, seed=3)
+        perm, ptr = partition_graph(data.adj_t, 8)
+        data = permute(data, perm)
+        data.adj_t = gcn_norm(data.adj_t.set_diag())
+        kw = dict(batch_size=2, mode="gas", shuffle=False)
+        lb = SubgraphLoader(data, ptr, adj_format="block", block_force=True,
+                            **kw)
+        lh = SubgraphLoader(data, ptr, adj_format="hybrid", **kw)
+        got_tier = False
+        for hb, hh in zip(lb, lh):
+            assert isinstance(hb.device.adj, BiBlockHybridAdj)
+            got_tier |= bool(np.asarray(hb.device.adj.fwd.dense.a).any())
+            c_pad = hb.device.n_id.shape[0]
+            r_pad = hb.device.push_idx.shape[0]
+            x = jnp.asarray(rng.standard_normal((c_pad, 16)), jnp.float32)
+            w = jnp.asarray(rng.standard_normal((r_pad, 16)), jnp.float32)
+            np.testing.assert_allclose(
+                np.asarray(spmm(hb.device.adj, x)),
+                np.asarray(spmm(hh.device.adj, x)), atol=1e-4)
+            gb = jax.grad(lambda x: (spmm(hb.device.adj, x) * w).sum())(x)
+            gh = jax.grad(lambda x: (spmm(hh.device.adj, x) * w).sum())(x)
+            np.testing.assert_allclose(np.asarray(gb), np.asarray(gh),
+                                       atol=1e-3, rtol=1e-4)
+        assert got_tier
+
+    def test_trainer_e2e_block_matches_hybrid(self):
+        """Two GAS training epochs with adj_format=block == hybrid: same
+        final params (f32 tiles are exact)."""
+        from incagg_gnn_tpu.graph.datasets import get_data
+        from incagg_gnn_tpu.models import GCN, GCNConfig
+        from incagg_gnn_tpu.train.trainer import Trainer, TrainerConfig
+
+        import jax
+
+        outs = {}
+        for fmt in ("hybrid", "block"):
+            d, in_c, out_c = get_data("/tmp/datasets", "sbm-small")
+            cfg = TrainerConfig(num_parts=4, batch_size=2, vr_update=False,
+                                epochs=2, seed=0, adj_format=fmt,
+                                fused_epoch="off")
+            model = GCN(GCNConfig(
+                num_nodes=d.num_nodes, in_channels=in_c, hidden_channels=32,
+                out_channels=out_c, num_layers=2, dropout=0.0,
+                drop_input=False, batch_norm=False, residual=False))
+            tr = Trainer(model, d, cfg)
+            tr.fit()
+            outs[fmt] = tr.params
+        for a, b in zip(jax.tree_util.tree_leaves(outs["hybrid"]),
+                        jax.tree_util.tree_leaves(outs["block"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4, rtol=1e-3)
