@@ -66,17 +66,20 @@ def main():
 
     def timed(fn, x, ops):
         # fwd+bwd: grad of sum(w * (A@x)) wrt x, chained so it's sequential
-        def step(h, _):
-            g = jax.grad(lambda h: (fn(ops, h) * w).sum().astype(jnp.float32))(h)
-            return (h + 0.001 * g.astype(h.dtype)), None
+        def run_fn(x, w, ops):
+            def step(h, _):
+                g = jax.grad(
+                    lambda h: (fn(ops, h) * w).sum().astype(jnp.float32))(h)
+                return (h + 0.001 * g.astype(h.dtype)), None
 
-        run = jax.jit(lambda x, ops: jax.lax.scan(
-            step, x, None, length=iters)[0].sum())
-        float(run(x, ops))
+            return jax.lax.scan(step, x, None, length=iters)[0].sum()
+
+        run = jax.jit(run_fn)
+        float(run(x, w, ops))
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            float(run(x, ops))
+            float(run(x, w, ops))
             best = min(best, time.perf_counter() - t0)
         return best / iters
 

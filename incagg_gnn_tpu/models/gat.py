@@ -65,12 +65,47 @@ def _hybrid_att_coeffs(fwd: HybridAdj, a_src, a_dst):
     return att_e, att_o, pre_e, pre_o, valid_e, valid_o
 
 
+def _row_chunked(fn, r: int, bytes_per_row: int, *arrs):
+    """Apply ``fn(*row_chunks) -> [rc, ...]`` over the leading (row) axis of
+    every array in ``arrs``, in one shot when the materialized intermediate
+    (``r * bytes_per_row``) fits the ELL gather budget, else via ``lax.map``
+    over 8-aligned row chunks.  The attention analogue of
+    ops/ell._chunked_rows: the [R, K, H, D] attention gathers OOM the chip
+    at reddit-scale widths otherwise (docs/RESULTS.md).  Padding rows are
+    zeros (col 0 / att 0) — their products vanish and they are sliced off."""
+    from incagg_gnn_tpu.ops import ell as _ell
+
+    budget = max(_ell._ELL_BUDGET_BYTES, 1)
+    need = r * bytes_per_row
+    if need <= budget:
+        return fn(*arrs)
+    n_chunks = -(-need // budget)
+    rc = -(-r // n_chunks)
+    rc = -(-rc // 8) * 8
+    n_chunks = -(-r // rc)
+    pad = n_chunks * rc - r
+    padded = tuple(
+        jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)) for a in arrs)
+    stacked = tuple(
+        a.reshape((n_chunks, rc) + a.shape[1:]) for a in padded)
+    out = jax.lax.map(lambda t: fn(*t), stacked)
+    return out.reshape((n_chunks * rc,) + out.shape[2:])[:r]
+
+
 def _att_message_sum(fwd: HybridAdj, att_e, att_o, wx):
-    """out[r] = Σ_slots att · wx[col]  (scatter-free over the hybrid)."""
+    """out[r] = Σ_slots att · wx[col]  (scatter-free over the hybrid;
+    row-chunked under the gather budget)."""
     r_pad = fwd.num_rows
-    g = jnp.take(wx, fwd.ell_cols.reshape(-1), axis=0)
-    g = g.reshape(fwd.ell_cols.shape + wx.shape[1:])  # [R, K, H, D]
-    out = (g * att_e[..., None]).sum(axis=1)
+    k = fwd.ell_cols.shape[1]
+    h, d = wx.shape[1], wx.shape[2]
+
+    def ell_part(cols, att):
+        g = jnp.take(wx, cols.reshape(-1), axis=0)
+        g = g.reshape(cols.shape + wx.shape[1:])  # [rc, K, H, D]
+        return (g * att[..., None]).sum(axis=1)
+
+    out = _row_chunked(ell_part, r_pad, k * h * d * wx.dtype.itemsize,
+                       fwd.ell_cols, att_e)
     if fwd.ovf_rows.shape[0] > 0:
         out = out + jax.ops.segment_sum(
             jnp.take(wx, fwd.ovf_cols, axis=0) * att_o[..., None],
@@ -116,9 +151,17 @@ def _att_block_bwd(res, g):
     att_e, att_o, pre_e, pre_o, valid_e, valid_o = _hybrid_att_coeffs(
         fwd, a_src, a_dst)
     # d(att·drop): cotangent of each edge's (dropped) coefficient
-    gw_e = jnp.take(wx, fwd.ell_cols.reshape(-1), axis=0)
-    gw_e = gw_e.reshape(fwd.ell_cols.shape + wx.shape[1:])  # [R,K,H,D]
-    d_attd_e = (gw_e * g[:, None, :, :]).sum(-1)  # [R,K,H]
+    k = fwd.ell_cols.shape[1]
+    d = wx.shape[2]
+
+    def attd_part(cols, g_rows):
+        gw = jnp.take(wx, cols.reshape(-1), axis=0)
+        gw = gw.reshape(cols.shape + wx.shape[1:])  # [rc,K,H,D]
+        return (gw * g_rows[:, None, :, :]).sum(-1)  # [rc,K,H]
+
+    d_attd_e = _row_chunked(attd_part, r_pad,
+                            k * heads * d * wx.dtype.itemsize,
+                            fwd.ell_cols, g)
     d_attd_o = (jnp.take(wx, fwd.ovf_cols, axis=0)
                 * jnp.take(g, fwd.ovf_rows, axis=0)).sum(-1)  # [O,H]
     d_att_e = d_attd_e * drop_e
@@ -152,9 +195,16 @@ def _att_block_bwd(res, g):
     attd_flat = jnp.concatenate(
         [(att_e * drop_e).reshape(-1, heads), att_o * drop_o], axis=0)
     ab_e, ab_o = _to_bwd_layout(bwd, t2f, attd_flat)
-    g_e = jnp.take(g, bwd.ell_cols.reshape(-1), axis=0)
-    g_e = g_e.reshape(bwd.ell_cols.shape + g.shape[1:])  # [C,K_t,H,D]
-    d_wx = (g_e * ab_e[..., None]).sum(axis=1)
+    k_t = bwd.ell_cols.shape[1]
+
+    def dwx_part(cols, ab):
+        ge = jnp.take(g, cols.reshape(-1), axis=0)
+        ge = ge.reshape(cols.shape + g.shape[1:])  # [rc,K_t,H,D]
+        return (ge * ab[..., None]).sum(axis=1)
+
+    d_wx = _row_chunked(dwx_part, bwd.num_rows,
+                        k_t * heads * d * g.dtype.itemsize,
+                        bwd.ell_cols, ab_e)
     if bwd.ovf_rows.shape[0] > 0:
         d_wx = d_wx + jax.ops.segment_sum(
             jnp.take(g, bwd.ovf_cols, axis=0) * ab_o[..., None],

@@ -464,3 +464,47 @@ def test_gat_hybrid_fwd_training_dropout_rejected(sbm_tiny):
     t.fill_history()
     with pytest.raises(ValueError, match="attention dropout"):
         t.train_epoch()
+
+
+def test_gat_attention_budget_chunking(sbm_tiny, monkeypatch):
+    """The [R,K,H,D] attention gathers (forward message sum and both custom-
+    VJP backward gathers) must give identical results when row-chunked under
+    a tiny gather budget (gat._row_chunked / reddit-scale OOM guard)."""
+    import jax
+    import incagg_gnn_tpu.models.gat as gat_mod
+    import incagg_gnn_tpu.ops.ell as ell_mod
+    from incagg_gnn_tpu.graph.partition import partition_graph
+    from incagg_gnn_tpu.graph.csr import permute
+    from incagg_gnn_tpu.loader import SubgraphLoader
+
+    data, in_c, out_c = sbm_tiny
+    perm, ptr = partition_graph(data.adj_t, 4, seed=0)
+    data = permute(data, perm)
+    ld = SubgraphLoader(data, ptr, batch_size=2, mode="gas",
+                        adj_format="hybrid", adj_perm=True)
+    adj = next(iter(ld)).device.adj
+    rng = np.random.default_rng(0)
+    H, D = 2, 8
+    C = int(adj.bwd.num_rows)
+    R = int(adj.fwd.num_rows)
+    a_src = jnp.asarray(rng.standard_normal((C, H)), jnp.float32)
+    a_dst = jnp.asarray(rng.standard_normal((R, H)), jnp.float32)
+    wx = jnp.asarray(rng.standard_normal((C, H, D)) * 0.3, jnp.float32)
+    ones_e = jnp.ones(adj.fwd.ell_vals.shape + (H,), jnp.float32)
+    ones_o = jnp.ones((adj.fwd.ovf_vals.shape[0], H), jnp.float32)
+
+    def loss(a_s, a_d, w):
+        out = gat_mod._att_block(adj, a_s, a_d, w, ones_e, ones_o)
+        return (out * out).sum()
+
+    out_big = gat_mod._att_block(adj, a_src, a_dst, wx, ones_e, ones_o)
+    g_big = jax.grad(loss, argnums=(0, 1, 2))(a_src, a_dst, wx)
+    with monkeypatch.context() as m:
+        m.setattr(ell_mod, "_ELL_BUDGET_BYTES", 16 << 10)
+        out_small = gat_mod._att_block(adj, a_src, a_dst, wx, ones_e, ones_o)
+        g_small = jax.grad(loss, argnums=(0, 1, 2))(a_src, a_dst, wx)
+    np.testing.assert_allclose(np.asarray(out_big), np.asarray(out_small),
+                               atol=1e-5)
+    for a, b, name in zip(g_big, g_small, ("a_src", "a_dst", "wx")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5,
+                                   err_msg=name)
