@@ -92,15 +92,18 @@ def main():
         print(f"bi-block:  {t_blk*1e3:.2f} ms/step = "
               f"{2*e/t_blk/1e6:.1f}M agg-edges/s ({t_base/t_blk:.2f}x)",
               flush=True)
-        import jax.numpy as jnp2
-        gh = jax.grad(lambda h: (spmm_bi(hyb, h) * w).sum().astype(
-            jnp.float32))(x)
-        gb2 = jax.grad(lambda h: (spmm_block_bi(blk, h) * w).sum().astype(
-            jnp.float32))(x)
-        ref = np.asarray(gh, np.float32)
-        got = np.asarray(gb2, np.float32)
-        err = np.abs(ref - got).max() / (np.abs(ref).max() + 1e-9)
-        print(f"grad max rel err: {err:.2e}")
+        # numerics cross-check: holding BOTH formats plus two full-graph
+        # grads exceeds HBM at the headline reddit shape (the CPU tests
+        # cover equivalence exactly) — opt in with --check at small scales
+        if "--check" in sys.argv:
+            gh = jax.grad(lambda h: (spmm_bi(hyb, h) * w).sum().astype(
+                jnp.float32))(x)
+            gb2 = jax.grad(lambda h: (spmm_block_bi(blk, h) * w).sum().astype(
+                jnp.float32))(x)
+            ref = np.asarray(gh, np.float32)
+            got = np.asarray(gb2, np.float32)
+            err = np.abs(ref - got).max() / (np.abs(ref).max() + 1e-9)
+            print(f"grad max rel err: {err:.2e}")
 
 
 if __name__ == "__main__":

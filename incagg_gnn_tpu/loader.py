@@ -333,6 +333,15 @@ class SubgraphLoader:
         a_itemsize = np.dtype(self.block_dtype).itemsize
         measured = None  # (thresh, total, rem_deg) of the last measure pass
         if b.blk == 0:  # decide on the first collated batch
+            # the tier only pays when batches are collated once and replayed
+            # (device cache); shuffled multi-cluster / NS loaders re-collate
+            # every epoch, which would rebuild + restage the 30-200x
+            # inflated tiles each time — reject unless explicitly forced
+            replayable = (not self.shuffle
+                          or (self.batch_size == 1 and self.mode != "ns"))
+            if not replayable and not self.block_force:
+                b.blk = -1
+                return None
             th = plan_block_tier(
                 rowptr, col, b.cols,
                 x_itemsize=a_itemsize, a_itemsize=a_itemsize,

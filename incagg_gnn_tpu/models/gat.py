@@ -66,30 +66,13 @@ def _hybrid_att_coeffs(fwd: HybridAdj, a_src, a_dst):
 
 
 def _row_chunked(fn, r: int, bytes_per_row: int, *arrs):
-    """Apply ``fn(*row_chunks) -> [rc, ...]`` over the leading (row) axis of
-    every array in ``arrs``, in one shot when the materialized intermediate
-    (``r * bytes_per_row``) fits the ELL gather budget, else via ``lax.map``
-    over 8-aligned row chunks.  The attention analogue of
-    ops/ell._chunked_rows: the [R, K, H, D] attention gathers OOM the chip
-    at reddit-scale widths otherwise (docs/RESULTS.md).  Padding rows are
-    zeros (col 0 / att 0) — their products vanish and they are sliced off."""
-    from incagg_gnn_tpu.ops import ell as _ell
+    """Budgeted row-chunking of the [R, K, H, D] attention gathers (they OOM
+    the chip at reddit-scale widths otherwise) — ops/ell.row_chunked, read at
+    call time so the budget stays monkeypatch-/env-consistent with the ELL
+    sum/max paths."""
+    from incagg_gnn_tpu.ops.ell import row_chunked
 
-    budget = max(_ell._ELL_BUDGET_BYTES, 1)
-    need = r * bytes_per_row
-    if need <= budget:
-        return fn(*arrs)
-    n_chunks = -(-need // budget)
-    rc = -(-r // n_chunks)
-    rc = -(-rc // 8) * 8
-    n_chunks = -(-r // rc)
-    pad = n_chunks * rc - r
-    padded = tuple(
-        jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)) for a in arrs)
-    stacked = tuple(
-        a.reshape((n_chunks, rc) + a.shape[1:]) for a in padded)
-    out = jax.lax.map(lambda t: fn(*t), stacked)
-    return out.reshape((n_chunks * rc,) + out.shape[2:])[:r]
+    return row_chunked(fn, r, bytes_per_row, *arrs)
 
 
 def _att_message_sum(fwd: HybridAdj, att_e, att_o, wx):
@@ -210,12 +193,7 @@ def _att_block_bwd(res, g):
             jnp.take(g, bwd.ovf_cols, axis=0) * ab_o[..., None],
             bwd.ovf_rows, num_segments=bwd.num_rows, indices_are_sorted=True)
 
-    def _zero(t):
-        if jnp.issubdtype(t.dtype, jnp.inexact):
-            return jnp.zeros_like(t)
-        import numpy as _np
-
-        return _np.zeros(t.shape, dtype=jax.dtypes.float0)
+    from incagg_gnn_tpu.ops.ell import _zero_cotangent as _zero
 
     return (jax.tree.map(_zero, adj), d_a_src, d_a_dst, d_wx,
             jnp.zeros_like(drop_e), jnp.zeros_like(drop_o))

@@ -34,7 +34,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from incagg_gnn_tpu.ops.ell import HybridAdj, build_hybrid_adj, choose_k, spmm_hybrid
+from incagg_gnn_tpu.ops.ell import (
+    HybridAdj,
+    _zero_cotangent,
+    build_hybrid_adj,
+    choose_k,
+    spmm_hybrid,
+)
 
 B = 128  # tile edge (MXU native)
 LANES = 4  # dense tiles per grid step
@@ -446,7 +452,13 @@ class BiBlockHybridAdj(NamedTuple):
         """IB-only ablation (reference gcn.py:117-141): forward drops edges
         whose SOURCE (column) id >= batch_size; the transpose drops the same
         edges, which live in its ROWS >= batch_size.  Degrees recomputed from
-        the surviving dense + remainder entries."""
+        the surviving dense + remainder entries.
+
+        Caveat: the recomputed dense degree counts nonzero CELLS, so it is
+        exact only for coalesced input (the production pipeline coalesces;
+        duplicate (row,col) entries summed into one tile cell — or cancelling
+        to zero — are undercounted vs the hybrid path's per-slot count).  The
+        trainer routes aggregate_combined=False runs to hybrid/COO."""
         col_of = jnp.arange(B, dtype=jnp.int32)
         # fwd: mask tile columns by global col id
         f = self.fwd
@@ -491,12 +503,6 @@ def _spmm_block_bi(fwd: BlockHybridAdj, bwd: BlockHybridAdj,
 
 def _spmm_block_bi_fw(fwd, bwd, x):
     return spmm_block(fwd, x), (fwd, bwd)
-
-
-def _zero_cotangent(t):
-    if jnp.issubdtype(t.dtype, jnp.inexact):
-        return jnp.zeros_like(t)
-    return np.zeros(t.shape, dtype=jax.dtypes.float0)
 
 
 def _spmm_block_bi_bw(res, g):

@@ -200,29 +200,37 @@ import os
 _ELL_BUDGET_BYTES = int(os.environ.get("INCAGG_ELL_BUDGET_MB", "2048")) << 20
 
 
-def _chunked_rows(per_chunk, ell_cols, ell_vals, x):
-    """Apply ``per_chunk(cols[rc,k], vals[rc,k], rc) -> [rc, d]`` over all ELL
-    rows, in one shot when the materialized [R,K,D] gather fits the budget,
-    else via lax.map over 8-aligned row chunks (padding rows are col 0 with
-    value 0: they contribute nothing and are sliced off)."""
-    r, k = ell_cols.shape
-    d = x.shape[1]
-    need = r * k * d * x.dtype.itemsize
+def row_chunked(fn, r: int, bytes_per_row: int, *arrs):
+    """Apply ``fn(*row_chunks) -> [rc, ...]`` over the leading (row) axis of
+    every array in ``arrs``, in one shot when the materialized intermediate
+    (``r * bytes_per_row``) fits the gather budget, else via ``lax.map`` over
+    8-aligned row chunks.  Padding rows are zeros (col 0 / value 0): their
+    products vanish and they are sliced off.  Shared by the ELL sum/max paths
+    and the GAT attention gathers (models/gat.py)."""
     budget = max(_ELL_BUDGET_BYTES, 1)
+    need = r * bytes_per_row
     if need <= budget:
-        return per_chunk(ell_cols, ell_vals, r)
+        return fn(*arrs)
     n_chunks = -(-need // budget)
     rc = -(-r // n_chunks)
     rc = -(-rc // 8) * 8
     n_chunks = -(-r // rc)
     pad = n_chunks * rc - r
-    cols = jnp.pad(ell_cols, ((0, pad), (0, 0)))
-    vals = jnp.pad(ell_vals, ((0, pad), (0, 0)))
-    out = jax.lax.map(
-        lambda cv: per_chunk(cv[0], cv[1], rc),
-        (cols.reshape(n_chunks, rc, k), vals.reshape(n_chunks, rc, k)),
-    )
-    return out.reshape(n_chunks * rc, d)[:r]
+    padded = tuple(
+        jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1)) for a in arrs)
+    stacked = tuple(
+        a.reshape((n_chunks, rc) + a.shape[1:]) for a in padded)
+    out = jax.lax.map(lambda t: fn(*t), stacked)
+    return out.reshape((n_chunks * rc,) + out.shape[2:])[:r]
+
+
+def _chunked_rows(per_chunk, ell_cols, ell_vals, x):
+    """Apply ``per_chunk(cols[rc,k], vals[rc,k], rc) -> [rc, d]`` over all ELL
+    rows, budgeted by the materialized [R,K,D] gather (see row_chunked)."""
+    r, k = ell_cols.shape
+    d = x.shape[1]
+    return row_chunked(lambda c, v: per_chunk(c, v, c.shape[0]),
+                       r, k * d * x.dtype.itemsize, ell_cols, ell_vals)
 
 
 def _ell_sum(ell_cols: jnp.ndarray, ell_vals: jnp.ndarray,

@@ -137,8 +137,13 @@ class Trainer:
         # GAT (edge attention) and PNA (max/min aggregators) keep hybrid.
         # Also off under a GSPMD mesh: XLA cannot shard-propagate through
         # the Pallas custom call (it would replicate the batch arrays).
-        blockable = model.__class__.__name__ in (
+        # aggregate_combined=False (IB-only ablation) masks edges per step;
+        # BiBlockHybridAdj.mask_in_batch undercounts degrees on duplicate
+        # (row,col) entries merged into one dense cell, so route the
+        # ablation to the slot-exact hybrid/COO formats
+        blockable = (model.__class__.__name__ in (
             "GCN", "GCN2", "APPNP", "GraphSAGE") and mesh is None
+            and cfg.aggregate_combined)
         if cfg.adj_format == "auto":
             # hybrid's scatter-free win is bandwidth-bound and needs batch
             # rows in the tens of thousands; at tiny single-cluster batches

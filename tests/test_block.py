@@ -371,3 +371,34 @@ class TestBiBlockLoaderTrainer:
                         jax.tree_util.tree_leaves(outs["block"])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=5e-4, rtol=1e-3)
+
+
+def test_shuffled_multicluster_train_loader_rejects_tier():
+    """Shuffled multi-cluster loaders re-collate each epoch: auto-admitting
+    the tier would rebuild + restage the inflated tiles per epoch, so the
+    decision must reject it unless forced (code-review finding)."""
+    from incagg_gnn_tpu.graph.csr import gcn_norm, permute
+    from incagg_gnn_tpu.graph.datasets import make_sbm
+    from incagg_gnn_tpu.graph.partition import partition_graph
+    from incagg_gnn_tpu.loader import SubgraphLoader
+    from incagg_gnn_tpu.ops.block import BiBlockHybridAdj
+    from incagg_gnn_tpu.ops.ell import BiHybridAdj
+
+    data, _, _ = make_sbm(num_nodes=800, num_classes=4, num_features=8,
+                          avg_degree=30.0, seed=3)
+    perm, ptr = partition_graph(data.adj_t, 8)
+    data = permute(data, perm)
+    data.adj_t = gcn_norm(data.adj_t.set_diag())
+    ld = SubgraphLoader(data, ptr, batch_size=2, mode="gas", shuffle=True,
+                        adj_format="block")
+    hb = next(iter(ld))
+    assert isinstance(hb.device.adj, BiHybridAdj)  # tier auto-rejected
+    assert ld.buckets.blk == -1
+    # force still wins (explicit adj_format=block with block_force)
+    ldf = SubgraphLoader(data, ptr, batch_size=2, mode="gas", shuffle=True,
+                         adj_format="block", block_force=True)
+    assert isinstance(next(iter(ldf)).device.adj, BiBlockHybridAdj)
+    # single-cluster shuffled loaders replay a device cache: still admitted
+    ld1 = SubgraphLoader(data, ptr, batch_size=1, mode="gas", shuffle=True,
+                         adj_format="block", block_force=True)
+    assert isinstance(next(iter(ld1)).device.adj, BiBlockHybridAdj)
