@@ -108,6 +108,10 @@ _SBM_PRESETS = {
     "sbm-medium": (20_000, 16, 64, 12.0),
     "sbm-arxiv": (169_343, 40, 128, 13.7),  # ogbn-arxiv scale
     "sbm-products": (2_449_029, 47, 100, 50.0),  # ogbn-products scale
+    # products degree/width at a scale the remote-tunnel chip can stage in
+    # minutes (full products refresh sweeps are tunnel-bandwidth-bound,
+    # docs/RESULTS.md) — the operating point for block-tier training runs
+    "sbm-products-mid": (500_000, 47, 100, 50.0),
     "sbm-reddit": (232_965, 41, 602, 100.0),  # reddit scale
 }
 
