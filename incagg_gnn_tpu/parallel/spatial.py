@@ -158,6 +158,17 @@ class ShardedVRTrainer:
         self._eval_block = (_blockable and self.adj_format == "hybrid"
                             and cfg.adj_format in ("auto", "block"))
         self._eval_block_force = _blockable and cfg.adj_format == "block"
+        # dense tier for the VR TRAIN stacks too: forward + exact-transpose
+        # tile pair (ops/block.BiBlockHybridAdj); the custom-VJP backward is
+        # another per-device tile matmul inside the same shard_map.  VR
+        # batches are collated once and live device-resident across epochs,
+        # so the tile-inflation admission is the resident-budget check in
+        # _block_buckets.  (GAS-mode sharded training keeps the hybrid/COO
+        # halo path.)
+        self._train_block = (self._eval_block and cfg.vr_update
+                             and cfg.aggregate_combined)
+        self._train_block_force = (self._eval_block_force and cfg.vr_update
+                                   and cfg.aggregate_combined)
 
         # ---- partition / permute / transforms (as single-chip) ----
         perm, ptr = partition_graph(data.adj_t, cfg.num_parts, seed=cfg.seed,
@@ -278,12 +289,23 @@ class ShardedVRTrainer:
                 max_r = max(max_r, len(idx))
                 max_e = max(max_e, len(col))
             raw.append(lst)
-        r_pad = _round_up(max_r, 8)
-        e_pad = _round_up(max_e, 8)
         trash = lay.local_trash()
-        fmt_args = self._hybrid_buckets(raw, r_pad, r_pad) if self.adj_format != "coo" else None
-        if fmt_args and self._adj_perm:
-            fmt_args = {**fmt_args, "with_perm": True}
+        blk_args = None
+        if self._train_block:
+            rb_pad = _round_up(max_r, 128)  # tile format needs 128-aligned
+            blk_args = self._block_buckets(raw, rb_pad, rb_pad, rounds,
+                                           force=self._train_block_force,
+                                           bi=True)
+        if blk_args is not None:
+            r_pad = rb_pad
+            fmt, fmt_args = "bi-block", blk_args
+        else:
+            r_pad = _round_up(max_r, 8)
+            fmt_args = self._hybrid_buckets(raw, r_pad, r_pad) if self.adj_format != "coo" else None
+            if fmt_args and self._adj_perm:
+                fmt_args = {**fmt_args, "with_perm": True}
+            fmt = "bi" if fmt_args else "coo"
+        e_pad = _round_up(max_e, 8)
 
         stacks = []
         self._train_round_edges = []
@@ -296,7 +318,7 @@ class ShardedVRTrainer:
                     edges += len(b.adj_args[1])
                 per_round.append(
                     self._pack(b, r_pad, r_pad, e_pad, trash,
-                               fmt="bi" if fmt_args else "coo", fmt_args=fmt_args)
+                               fmt=fmt, fmt_args=fmt_args)
                 )
             self._train_round_edges.append(edges)
             stacks.append(jax.tree.map(lambda *xs: np.stack(xs), *per_round))
@@ -315,17 +337,21 @@ class ShardedVRTrainer:
         self._halo_plans = plans
         self._eval_rounds = rounds
 
-    def _block_buckets(self, raw, r_pad, c_pad, rounds):
-        """Decide + size the dense tier for the sharded eval stacks: one
-        thresh/k/ovf/nb bucket across every device's batches (the refresh
-        scan stacks them), gated by the cost model on the largest batch and
-        a per-device resident-tile budget (all rounds live in HBM)."""
+    def _block_buckets(self, raw, r_pad, c_pad, rounds, force=None,
+                       bi=False):
+        """Decide + size the dense tier for the sharded stacks: one
+        thresh/k/ovf/nb bucket across every device's batches (the scans
+        stack them), gated by the cost model on the largest batch and a
+        per-device resident-tile budget (all rounds live in HBM).  With
+        ``bi``, also sizes the exact-transpose direction (train stacks)."""
         import ml_dtypes
 
         from incagg_gnn_tpu.ops.block import (
-            marginal_thresh, measure_block_tier, plan_block_tier)
+            marginal_thresh, measure_block_tier, plan_block_tier,
+            transpose_csr_host)
         from incagg_gnn_tpu.ops.ell import choose_k
 
+        force = self._eval_block_force if force is None else force
         a_dtype = (ml_dtypes.bfloat16 if self.cfg.hist_dtype == "bfloat16"
                    else np.float32)
         ai = np.dtype(a_dtype).itemsize
@@ -336,28 +362,40 @@ class ShardedVRTrainer:
         big = max(batches, key=lambda b: b.adj_args[1].size)
         th = plan_block_tier(big.adj_args[0], big.adj_args[1], c_pad,
                              x_itemsize=ai, a_itemsize=ai, d_hint=d_hint)
-        if th is None and self._eval_block_force:
+        if th is None and force:
             th = marginal_thresh(ai, ai, d_hint)
         if th is None:
             return None
-        nb, k, rem_degs = 0, 8, []
-        for b in batches:
-            total, rem_deg = measure_block_tier(
-                b.adj_args[0], b.adj_args[1], r_pad, c_pad, th)
-            nb = max(nb, total)
-            k = max(k, choose_k(rem_deg))
-            rem_degs.append(rem_deg)
-        nb = max(nb, (r_pad // 128) * 4)  # empty-device batches: all filler
-        ovf = 8
-        for rd in rem_degs:
-            ovf = max(ovf, int(np.maximum(rd - k, 0).sum()))
-        ovf = _round_up(ovf, 128)
+
+        def size_dir(mk_csr, rp, cp):
+            nb, k, rem_degs = 0, 8, []
+            for b in batches:
+                rowptr, col = mk_csr(b)
+                total, rem_deg = measure_block_tier(rowptr, col, rp, cp, th)
+                nb = max(nb, total)
+                k = max(k, choose_k(rem_deg))
+                rem_degs.append(rem_deg)
+            nb = max(nb, (rp // 128) * 4)  # empty-device batches: all filler
+            ovf = 8
+            for rd in rem_degs:
+                ovf = max(ovf, int(np.maximum(rd - k, 0).sum()))
+            return nb, k, _round_up(ovf, 128)
+
+        nb, k, ovf = size_dir(lambda b: b.adj_args[:2], r_pad, c_pad)
+        args = {"thresh": th, "k": k, "ovf_pad": ovf, "nb_pad": nb,
+                "a_dtype": a_dtype}
+        tiles = nb
+        if bi:
+            nb_t, k_t, ovf_t = size_dir(
+                lambda b: transpose_csr_host(*b.adj_args, c_pad)[:2],
+                c_pad, r_pad)
+            args.update({"k_t": k_t, "ovf_pad_t": ovf_t, "nb_pad_t": nb_t})
+            tiles += nb_t
         budget = int(os.environ.get("INCAGG_SHARD_TILE_BUDGET_MB",
                                     "4096")) << 20
-        if not self._eval_block_force and nb * 16384 * ai * rounds > budget:
+        if not force and tiles * 16384 * ai * rounds > budget:
             return None
-        return {"thresh": th, "k": k, "ovf_pad": ovf, "nb_pad": nb,
-                "a_dtype": a_dtype}
+        return args
 
     def _build_gas_stacks(self, group_size: int, try_block: bool = False):
         """Per-device GAS (IB+OB) batches with n_id in *global row* space
@@ -520,6 +558,15 @@ class ShardedVRTrainer:
                 rowptr, col, value, r_pad, c_pad, thresh=fmt_args["thresh"],
                 a_dtype=fmt_args["a_dtype"], k=fmt_args["k"],
                 ovf_pad=fmt_args["ovf_pad"], nb_pad=fmt_args["nb_pad"])
+        elif fmt == "bi-block":
+            from incagg_gnn_tpu.ops.block import build_bi_block_hybrid
+
+            adj = build_bi_block_hybrid(
+                rowptr, col, value, r_pad, c_pad, thresh=fmt_args["thresh"],
+                a_dtype=fmt_args["a_dtype"], k=fmt_args["k"],
+                k_t=fmt_args["k_t"], ovf_pad=fmt_args["ovf_pad"],
+                ovf_pad_t=fmt_args["ovf_pad_t"], nb_pad=fmt_args["nb_pad"],
+                nb_pad_t=fmt_args["nb_pad_t"])
         elif fmt == "bi":
             adj = build_bi_hybrid_adj(rowptr, col, value, r_pad, c_pad, **fmt_args)
         elif fmt == "fwd":

@@ -270,3 +270,31 @@ def test_sharded_gat_vr_hybrid(sbm_small):
     assert tr.adj_format == "hybrid" and tr._adj_perm
     res = tr.fit()
     assert res["best_test"] > 0.7, res
+
+
+class TestShardedBiBlockTraining:
+    def test_train_block_tier_matches_hybrid(self, sbm_small):
+        """Sharded VR TRAINING with the forced bidirectional dense tier
+        (adj_format=block) == the bi-hybrid sharded training: identical
+        params after fill + one epoch (f32 tiles are exact; the custom-VJP
+        backward is another per-device tile matmul inside shard_map)."""
+        data, in_c, out_c = sbm_small
+        cfg = GCNConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                        hidden_channels=24, out_channels=out_c, num_layers=2,
+                        dropout=0.0, drop_input=False)
+        results = {}
+        for fmt in ("hybrid", "block"):
+            tcfg = TrainerConfig(num_parts=8, batch_size=1, vr_update=True,
+                                 seed=0, lr=0.01, adj_format=fmt)
+            tr = ShardedVRTrainer(GCN(cfg), data, tcfg, mesh=make_mesh(4))
+            if fmt == "block":
+                assert tr._train_block_force
+                from incagg_gnn_tpu.ops.block import BiBlockHybridAdj
+                assert isinstance(tr._train_stacks[0].adj, BiBlockHybridAdj)
+            tr.refresh()
+            tr.train_epoch()
+            results[fmt] = tr.params
+        for a, b in zip(jax.tree_util.tree_leaves(results["hybrid"]),
+                        jax.tree_util.tree_leaves(results["block"])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4, rtol=1e-3)
