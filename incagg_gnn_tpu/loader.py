@@ -124,6 +124,7 @@ class SubgraphLoader:
         adj_format: str = "coo",
         adj_perm: bool = False,
         device_cache: Optional[bool] = None,
+        static_groups: bool = False,
         log: bool = False,
         block_dtype=None,
         block_d_hint: int = 256,
@@ -139,11 +140,20 @@ class SubgraphLoader:
         further 1.5x at products/reddit degrees (block tier).
 
         ``block_dtype``/``block_d_hint``: dense-tile dtype (defaults f32)
-        and the feature width the cost model assumes."""
+        and the feature width the cost model assumes.
+
+        ``static_groups``: with ``shuffle``, keep the cluster->batch GROUPING
+        fixed across epochs and shuffle only the batch order.  The reference
+        reshuffles cluster composition every epoch (slightly more SGD noise);
+        static grouping collates once, replays the device-cached batches,
+        and admits the dense tile tier for multi-cluster batches — the
+        per-epoch host collate + restage otherwise dominates wall clock on
+        slow host<->device links (docs/RESULTS.md)."""
         assert mode in ("gas", "ib", "ns")
         assert adj_format in ("coo", "hybrid", "hybrid-fwd", "block-fwd",
                               "block")
         self.adj_format = adj_format
+        self.static_groups = static_groups and mode != "ns"  # NS resamples
         self.block_dtype = np.float32 if block_dtype is None else block_dtype
         self.block_d_hint = block_d_hint
         self.block_force = block_force
@@ -170,7 +180,9 @@ class SubgraphLoader:
         # Establish initial pad buckets from the deterministic grouping.
         groups = self._groups(shuffled=False)
         maxima = self._measure(groups)
-        slack = 1.0 if not shuffle else pad_slack
+        # static grouping => batch composition is deterministic: exact buckets
+        slack = 1.0 if (not shuffle or self.static_groups
+                        or (batch_size == 1 and mode != "ns")) else pad_slack
         self.buckets = PadBuckets(
             rows=_round_up(int(maxima[0] * slack), align),
             cols=_round_up(int(maxima[1] * slack), align),
@@ -337,7 +349,7 @@ class SubgraphLoader:
             # (device cache); shuffled multi-cluster / NS loaders re-collate
             # every epoch, which would rebuild + restage the 30-200x
             # inflated tiles each time — reject unless explicitly forced
-            replayable = (not self.shuffle
+            replayable = (not self.shuffle or self.static_groups
                           or (self.batch_size == 1 and self.mode != "ns"))
             if not replayable and not self.block_force:
                 b.blk = -1
@@ -477,7 +489,10 @@ class SubgraphLoader:
         # Kills the per-epoch collate + host->device restaging that
         # dominates training time on slow links (docs/RESULTS.md), exactly
         # for the headline batch_size=1 configs (products GCN/GCNII/APPNP).
-        if self.batch_size == 1 and self.mode != "ns":
+        # ``static_groups`` opts multi-cluster batches into the same replay
+        # (fixed grouping, shuffled order).
+        if ((self.batch_size == 1 or self.static_groups)
+                and self.mode != "ns"):
             if self._cache is None:
                 groups = self._groups(shuffled=False)
                 self._cache = [
@@ -486,7 +501,7 @@ class SubgraphLoader:
                 if self._use_device_cache():
                     self._cache = [self._to_device(hb) for hb in self._cache]
             order = np.random.default_rng((self.seed, epoch)).permutation(
-                self.num_clusters
+                len(self._cache)
             )
             for k in order:
                 yield self._to_device(self._cache[k])

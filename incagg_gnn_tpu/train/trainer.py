@@ -82,6 +82,12 @@ class TrainerConfig:
     # when the stacked batches fit a ~1.5GB budget and neither mid-epoch
     # refresh, edge dropout, max_steps, nor NS resampling is in play.
     fused_epoch: str = "auto"  # "auto" | "on" | "off"
+    # Keep the cluster->batch grouping fixed across epochs, shuffling only
+    # the batch order (the reference regroups every epoch).  Lets
+    # multi-cluster train batches collate once and replay device-resident —
+    # kills the per-epoch host collate + restage and admits the dense tile
+    # tier (loader static_groups; slightly less SGD noise than regrouping)
+    static_groups: bool = False
     # Fail-fast watchdog around device round trips: raise DeviceTimeoutError
     # (with stall diagnostics) when a step/refresh blocks longer than this —
     # the opposite of the reference's print-and-continue on transfer errors
@@ -197,6 +203,7 @@ class Trainer:
             num_neighbors=cfg.num_neighbors, shuffle=True, seed=cfg.seed,
             adj_format=train_fmt,
             adj_perm=is_gat and train_fmt == "hybrid",
+            static_groups=cfg.static_groups,
             **(blk_kwargs if train_fmt == "block" else {}),
         )
         self.eval_loader = EvalSubgraphLoader(
