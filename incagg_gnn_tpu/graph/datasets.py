@@ -113,6 +113,10 @@ _SBM_PRESETS = {
     # docs/RESULTS.md) — the operating point for block-tier training runs
     "sbm-products-mid": (500_000, 47, 100, 50.0),
     "sbm-reddit": (232_965, 41, 602, 100.0),  # reddit scale
+    # reddit degree/width at a size whose dense-tile working set fits a
+    # single 16 GB chip end-to-end (communities ~2.4K wide at deg 100 give
+    # the high local block density the MXU tier needs)
+    "sbm-reddit-mid": (100_000, 41, 602, 100.0),
 }
 
 

@@ -362,6 +362,7 @@ class SubgraphLoader:
             if th is None and self.block_force:
                 th = marginal_thresh(a_itemsize, a_itemsize,
                                      self.block_d_hint)
+            why = "cost model: hybrid within min_gain"
             if th is not None:
                 total, rem_deg = measure_block_tier(rowptr, col, b.rows,
                                                     b.cols, th)
@@ -379,13 +380,18 @@ class SubgraphLoader:
                 budget = (self.hbm_budget if self.hbm_budget is not None
                           else 1_500_000_000)
                 if not self.block_force and per * len(self) > budget:
-                    th = None  # would stream 30-200x inflated tiles: net loss
+                    # uniform low block density => tiling ~= densifying the
+                    # whole batch; streaming that is a net loss
+                    why = (f"residency budget: ~{per * len(self) >> 20} MB"
+                           f" of tiles+batch over {budget >> 20} MB")
+                    th = None
             b.blk = th if th is not None else -1
             import logging
 
             logging.getLogger(__name__).info(
-                "block tier %s (thresh=%s)",
-                "ON" if b.blk > 0 else "off", b.blk if b.blk > 0 else None)
+                "block tier %s (%s)",
+                "ON" if b.blk > 0 else "off",
+                f"thresh={b.blk}" if b.blk > 0 else why)
         if b.blk < 0:
             return None
 
