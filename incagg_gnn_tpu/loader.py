@@ -477,13 +477,26 @@ class SubgraphLoader:
         budget = self.hbm_budget if self.hbm_budget is not None else 1_500_000_000
         return per * len(self) < budget
 
+    def _materialize_cache(self):
+        """Collate the deterministic groups once; if any pad bucket grew
+        mid-pass (ELL width / overflow / tile count), earlier batches carry
+        stale (smaller) shapes — re-collate the whole set under the final
+        buckets so every cached batch shares one static shape (required by
+        the fused-epoch scan and by stacked multi-chip formats).  Bucket
+        growth is monotone, so the second pass is stable."""
+        groups = self._groups(shuffled=False)
+        before = self.recompile_count
+        self._cache = [self._collate(g, 0, i) for i, g in enumerate(groups)]
+        if self.recompile_count != before:
+            self._cache = [self._collate(g, 0, i)
+                           for i, g in enumerate(groups)]
+        if self._use_device_cache():
+            self._cache = [self._to_device(hb) for hb in self._cache]
+
     def __iter__(self) -> Iterator[HostBatch]:
         if not self.shuffle:
             if self._cache is None:
-                groups = self._groups(shuffled=False)
-                self._cache = [self._collate(g, 0, i) for i, g in enumerate(groups)]
-                if self._use_device_cache():
-                    self._cache = [self._to_device(hb) for hb in self._cache]
+                self._materialize_cache()
             for hb in self._cache:
                 yield self._to_device(hb)
             return
@@ -500,12 +513,7 @@ class SubgraphLoader:
         if ((self.batch_size == 1 or self.static_groups)
                 and self.mode != "ns"):
             if self._cache is None:
-                groups = self._groups(shuffled=False)
-                self._cache = [
-                    self._collate(g, 0, i) for i, g in enumerate(groups)
-                ]
-                if self._use_device_cache():
-                    self._cache = [self._to_device(hb) for hb in self._cache]
+                self._materialize_cache()
             order = np.random.default_rng((self.seed, epoch)).permutation(
                 len(self._cache)
             )

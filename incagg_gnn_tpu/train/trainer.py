@@ -261,13 +261,20 @@ class Trainer:
             # Train batches are only cacheable for single-cluster non-NS
             # loaders (loader.__iter__); otherwise eval keeps it all.
             train_cacheable = (
-                cfg.batch_size == 1 and self.train_loader.mode != "ns"
+                (cfg.batch_size == 1 or cfg.static_groups)
+                and self.train_loader.mode != "ns"
             )
             if train_cacheable:
                 self.eval_loader.hbm_budget = int(headroom * 0.6)
                 self.train_loader.hbm_budget = int(headroom * 0.4)
             else:
                 self.eval_loader.hbm_budget = headroom
+            # the fused-epoch stacked copy coexists with the batch caches;
+            # size its budget from real headroom instead of the fixed
+            # default (tile-tier batches are bytes-heavy: a fixed 1.5 GB
+            # silently demoted them to per-step dispatch, which costs ~60 ms
+            # a step through a remote tunnel, docs/RESULTS.md)
+            self._fused_budget = max(1_500_000_000, int(headroom * 0.25))
         if mesh is not None:
             # node-row sharding of all [N+1, ...] state; GSPMD handles the
             # cross-shard pulls/pushes in the jitted steps.  Row counts are
@@ -405,7 +412,8 @@ class Trainer:
         # device-side op), so fusion always pays there.  Force with
         # fused_epoch="on".
         device_resident = (
-            cfg.batch_size == 1 and self.train_loader.mode != "ns"
+            (cfg.batch_size == 1 or cfg.static_groups)
+            and self.train_loader.mode != "ns"
             and self.train_loader._use_device_cache()
         )
         if (cfg.fused_epoch == "auto" and len(batches) > 64
@@ -419,7 +427,8 @@ class Trainer:
             ):
                 return False  # a pad bucket grew mid-materialization
         per = sum(int(np.prod(l.shape)) * l.dtype.itemsize for l in leaves)
-        return per * len(batches) < 1_500_000_000
+        return per * len(batches) < getattr(self, "_fused_budget",
+                                            1_500_000_000)
 
     def _train_epoch_fused(self, batches) -> Dict[str, float]:
         """Whole epoch as one scanned jit (make_vr_epoch_scan /
