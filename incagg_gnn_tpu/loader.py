@@ -45,6 +45,12 @@ from incagg_gnn_tpu.graph.relabel import (
 from incagg_gnn_tpu.ops.spmm import PaddedAdj, build_padded_adj
 
 
+def _grow(new_kv, k, ovf):
+    """Unpack an ``ell_buckets`` result and flag whether it grew."""
+    nk, novf = new_kv
+    return nk, novf, (nk, novf) != (k, ovf)
+
+
 class SubgraphBatch(NamedTuple):
     """Device-side batch (a pytree of arrays; static shapes per bucket).
 
@@ -286,7 +292,8 @@ class SubgraphLoader:
     def _build_adj(self, rowptr, col, value, batch_size: int):
         """Build the device adjacency in the configured format, maintaining
         static hybrid buckets (ELL width / overflow size) across batches."""
-        from incagg_gnn_tpu.ops.ell import build_bi_hybrid_adj, build_hybrid_adj, choose_k
+        from incagg_gnn_tpu.ops.ell import (
+            build_bi_hybrid_adj, build_hybrid_adj, ell_buckets)
 
         b = self.buckets
         if self.adj_format == "coo":
@@ -300,24 +307,12 @@ class SubgraphLoader:
             # tier rejected for this graph -> plain hybrid below
 
         deg = np.diff(rowptr)
-        k_need = choose_k(deg)
         # transpose degrees: counts of each col
         tdeg = np.bincount(col, minlength=b.cols) if col.size else np.zeros(1, np.int64)
-        kt_need = choose_k(tdeg)
-        ovf_need = int(np.maximum(deg - max(b.k, k_need), 0).sum())
-        ovft_need = int(np.maximum(tdeg - max(b.k_t, kt_need), 0).sum())
-        grew = False
-        if k_need > b.k:
-            b.k, grew = k_need, True
-        if kt_need > b.k_t:
-            b.k_t, grew = kt_need, True
-        o_pad = max(8, ((ovf_need + 127) // 128) * 128)
-        ot_pad = max(8, ((ovft_need + 127) // 128) * 128)
-        if o_pad > b.ovf:
-            b.ovf, grew = o_pad, True
-        if ot_pad > b.ovf_t:
-            b.ovf_t, grew = ot_pad, True
-        if grew:
+        k, ovf = ell_buckets([deg], k=b.k, ovf=b.ovf)
+        k_t, ovf_t = ell_buckets([tdeg], k=b.k_t, ovf=b.ovf_t)
+        if (k, ovf, k_t, ovf_t) != (b.k, b.ovf, b.k_t, b.ovf_t):
+            b.k, b.ovf, b.k_t, b.ovf_t = k, ovf, k_t, ovf_t
             self.recompile_count += 1
 
         if self.adj_format in ("hybrid-fwd", "block-fwd"):
@@ -339,7 +334,7 @@ class SubgraphLoader:
             B as BLK, build_bi_block_hybrid, build_block_hybrid,
             marginal_thresh, measure_block_tier, plan_block_tier,
             transpose_csr_host)
-        from incagg_gnn_tpu.ops.ell import choose_k
+        from incagg_gnn_tpu.ops.ell import choose_k, ell_buckets
 
         b = self.buckets
         a_itemsize = np.dtype(self.block_dtype).itemsize
@@ -400,14 +395,8 @@ class SubgraphLoader:
         else:
             total, rem_deg = measure_block_tier(rowptr, col, b.rows, b.cols,
                                                 b.blk)
-        k_need = choose_k(rem_deg)
-        ovf_need = int(np.maximum(rem_deg - max(b.k, k_need), 0).sum())
-        grew = False
-        if k_need > b.k:
-            b.k, grew = k_need, True
-        o_pad = max(8, ((ovf_need + 127) // 128) * 128)
-        if o_pad > b.ovf:
-            b.ovf, grew = o_pad, True
+        b.k, b.ovf, grew = _grow(ell_buckets([rem_deg], k=b.k, ovf=b.ovf),
+                                 b.k, b.ovf)
         if total > b.nb:
             b.nb, grew = total, True
         if not bi:
@@ -424,13 +413,9 @@ class SubgraphLoader:
         transpose = transpose_csr_host(rowptr, col, value, b.cols)
         total_t, rem_deg_t = measure_block_tier(transpose[0], transpose[1],
                                                 b.cols, b.rows, b.blk)
-        kt_need = choose_k(rem_deg_t)
-        ovft_need = int(np.maximum(rem_deg_t - max(b.k_t, kt_need), 0).sum())
-        if kt_need > b.k_t:
-            b.k_t, grew = kt_need, True
-        ot_pad = max(8, ((ovft_need + 127) // 128) * 128)
-        if ot_pad > b.ovf_t:
-            b.ovf_t, grew = ot_pad, True
+        b.k_t, b.ovf_t, grew_t = _grow(
+            ell_buckets([rem_deg_t], k=b.k_t, ovf=b.ovf_t), b.k_t, b.ovf_t)
+        grew = grew or grew_t
         if total_t > b.nb_t:
             b.nb_t, grew = total_t, True
         if grew:

@@ -106,6 +106,25 @@ def choose_k(degrees: np.ndarray, quantile: float = 0.98, align: int = 8,
     return int(cands[int(np.argmin(cost))])
 
 
+def ell_buckets(degree_arrays, k: int = 8, ovf: int = 8):
+    """Shared ELL/overflow bucket sizes covering every batch.
+
+    ``degree_arrays`` is an iterable of per-row degree vectors (one per
+    batch, forward or transpose direction).  Grows the current ``(k, ovf)``
+    monotonically: first the cost-model ELL width ``k`` over all batches,
+    then the overflow slot count against that *final* ``k``, rounded up to
+    128 (floor 8).  This is the single sizing policy for the loader's
+    incremental bucket growth and the sharded trainer's static stacks —
+    previously three drifting copies of the same logic."""
+    arrays = list(degree_arrays)
+    for deg in arrays:
+        k = max(k, choose_k(deg))
+    need = 0
+    for deg in arrays:
+        need = max(need, int(np.maximum(deg - k, 0).sum()))
+    return k, max(ovf, 8, -(-need // 128) * 128)
+
+
 def build_hybrid_adj(
     rowptr: np.ndarray,
     col: np.ndarray,

@@ -349,7 +349,7 @@ class ShardedVRTrainer:
         from incagg_gnn_tpu.ops.block import (
             marginal_thresh, measure_block_tier, plan_block_tier,
             transpose_csr_host)
-        from incagg_gnn_tpu.ops.ell import choose_k
+        from incagg_gnn_tpu.ops.ell import ell_buckets
 
         force = self._eval_block_force if force is None else force
         a_dtype = (ml_dtypes.bfloat16 if self.cfg.hist_dtype == "bfloat16"
@@ -368,18 +368,15 @@ class ShardedVRTrainer:
             return None
 
         def size_dir(mk_csr, rp, cp):
-            nb, k, rem_degs = 0, 8, []
+            nb, rem_degs = 0, []
             for b in batches:
                 rowptr, col = mk_csr(b)
                 total, rem_deg = measure_block_tier(rowptr, col, rp, cp, th)
                 nb = max(nb, total)
-                k = max(k, choose_k(rem_deg))
                 rem_degs.append(rem_deg)
             nb = max(nb, (rp // 128) * 4)  # empty-device batches: all filler
-            ovf = 8
-            for rd in rem_degs:
-                ovf = max(ovf, int(np.maximum(rd - k, 0).sum()))
-            return nb, k, _round_up(ovf, 128)
+            k, ovf = ell_buckets(rem_degs)
+            return nb, k, ovf
 
         nb, k, ovf = size_dir(lambda b: b.adj_args[:2], r_pad, c_pad)
         args = {"thresh": th, "k": k, "ovf_pad": ovf, "nb_pad": nb,
@@ -518,26 +515,17 @@ class ShardedVRTrainer:
 
     def _hybrid_buckets(self, raw, r_pad, c_pad):
         """Common ELL/overflow bucket sizes across all devices' batches."""
-        from incagg_gnn_tpu.ops.ell import choose_k
+        from incagg_gnn_tpu.ops.ell import ell_buckets
 
-        k = k_t = 8
-        ovf = ovf_t = 8
+        degs, tdegs = [], []
         for lst in raw:
             for b in lst:
-                rowptr, col, value = b.adj_args
-                deg = np.diff(rowptr)
-                tdeg = np.bincount(col, minlength=c_pad) if col.size else np.zeros(1, np.int64)
-                k = max(k, choose_k(deg))
-                k_t = max(k_t, choose_k(tdeg))
-        for lst in raw:
-            for b in lst:
-                rowptr, col, value = b.adj_args
-                deg = np.diff(rowptr)
-                tdeg = np.bincount(col, minlength=c_pad) if col.size else np.zeros(1, np.int64)
-                ovf = max(ovf, int(np.maximum(deg - k, 0).sum()))
-                ovf_t = max(ovf_t, int(np.maximum(tdeg - k_t, 0).sum()))
-        ovf = _round_up(ovf, 128)
-        ovf_t = _round_up(ovf_t, 128)
+                rowptr, col, _ = b.adj_args
+                degs.append(np.diff(rowptr))
+                tdegs.append(np.bincount(col, minlength=c_pad) if col.size
+                             else np.zeros(1, np.int64))
+        k, ovf = ell_buckets(degs)
+        k_t, ovf_t = ell_buckets(tdegs)
         return {"k": k, "k_t": k_t, "ovf_pad": ovf, "ovf_pad_t": ovf_t}
 
     def _pack(self, b: Optional[_DevBatch], r_pad, c_pad, e_pad, trash_local,

@@ -24,6 +24,14 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_collection_modifyitems(config, items):
+    """Two test tiers: anything not marked ``full`` is ``smoke`` (the <90 s
+    dev loop); the driver's gate runs everything."""
+    for item in items:
+        if item.get_closest_marker("full") is None:
+            item.add_marker(pytest.mark.smoke)
+
+
 @pytest.fixture(scope="session", autouse=True)
 def _assert_cpu_backend():
     import jax

@@ -12,6 +12,7 @@ from incagg_gnn_tpu.models import (
 from incagg_gnn_tpu.train.trainer import Trainer, TrainerConfig
 
 
+@pytest.mark.full
 class TestAblations:
     def test_gcn2_no_aggregation_runs(self, sbm_small):
         data, in_c, out_c = sbm_small

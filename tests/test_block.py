@@ -237,6 +237,7 @@ class TestDuplicateEdges:
                                        err_msg=f"native={native}")
 
 
+@pytest.mark.full
 class TestBiBlock:
     """Bidirectional tier: training forward + exact-transpose backward."""
 
@@ -308,6 +309,7 @@ class TestBiBlock:
                                        atol=1e-3, rtol=1e-4)
 
 
+@pytest.mark.full
 class TestBiBlockLoaderTrainer:
     def test_train_loader_block_matches_hybrid(self, rng):
         import jax

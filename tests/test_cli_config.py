@@ -49,6 +49,7 @@ class TestConfig:
             load_config(os.path.join(REPO, "conf/model/gcn.yaml"), "nope")
 
 
+@pytest.mark.full
 class TestCLI:
     def test_main_smoke(self, tmp_path):
         import main as cli
@@ -217,6 +218,7 @@ class TestCheckpoint:
         assert names == ["ckpt_000002.npz", "ckpt_000003.npz"]
 
 
+@pytest.mark.full
 class TestCheckpointVariants:
     """Checkpoint protocol on the spill and sharded trainers."""
 
@@ -319,6 +321,7 @@ class TestCheckpointVariants:
             cm.maybe_restore(t3)
 
 
+@pytest.mark.full
 class TestStallRecovery:
     def test_supervisor_kills_and_restarts_stalled_child(self, tmp_path):
         """A child wedged in a silent transport hang (no exception, no

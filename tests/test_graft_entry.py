@@ -6,6 +6,8 @@ import sys
 import jax
 import pytest
 
+pytestmark = pytest.mark.full
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 

@@ -74,6 +74,7 @@ class TestInductiveDatasets:
             load_npz_dataset(str(tmp_path), "ppi", split="test")
 
 
+@pytest.mark.full
 class TestFullForward:
     def test_matches_refresh_on_training_graph(self, sbm_small):
         """GAS refresh is exact full-graph inference, so full_forward on the

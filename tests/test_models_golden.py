@@ -229,6 +229,7 @@ class TestSAGE:
         assert float(m["drift"]) < 1e-3
 
 
+@pytest.mark.full
 class TestPNA:
     def test_refresh_matches_dense(self, sbm_tiny):
         data, in_c, out_c = sbm_tiny
@@ -293,6 +294,7 @@ class TestPNA:
         assert res["best_test"] > 0.75, res["best_test"]
 
 
+@pytest.mark.full
 class TestTraining:
     """Every model family must learn on the SBM in both modes."""
 
@@ -352,6 +354,7 @@ def test_pna_jk_rejects_true_vr(sbm_tiny):
         PNA_JK(cfg)
 
 
+@pytest.mark.full
 class TestGATHybridEval:
     def test_hybrid_refresh_matches_coo(self, sbm_small):
         """Scatter-free hybrid-ELL attention (gat_conv_hybrid) reproduces the
@@ -382,6 +385,7 @@ class TestGATHybridEval:
         assert res["best_test"] > 0.75, res
 
 
+@pytest.mark.full
 class TestGATHybridTraining:
     def _cfg(self, data, in_c, out_c):
         return GATConfig(num_nodes=data.num_nodes, in_channels=in_c,

@@ -17,6 +17,8 @@ from incagg_gnn_tpu.parallel.mesh import make_mesh, make_mesh_2d
 from incagg_gnn_tpu.parallel.spatial import ShardedVRTrainer
 from incagg_gnn_tpu.train.trainer import Trainer, TrainerConfig
 
+pytestmark = pytest.mark.full
+
 
 class TestLayout:
     def test_layout_roundtrip(self):

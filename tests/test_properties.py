@@ -8,6 +8,7 @@ the hybrid ELL/COO split is an exact repartition of the edge multiset,
 transpose round-trips, and neighbor sampling returns in-order subsets.
 """
 
+import pytest
 import numpy as np
 from hypothesis import given, settings, strategies as st
 
@@ -186,6 +187,7 @@ class TestSampleProperties:
                     f"row {r}: {pair} not an in-order pick from {row_pairs}")
 
 
+@pytest.mark.full
 class TestBlockProperties:
     @given(g=graphs(max_n=40, max_m=200), thresh=st.integers(1, 12),
            d=st.integers(1, 9))

@@ -9,6 +9,8 @@ from incagg_gnn_tpu.models import GCN, GCNConfig
 from incagg_gnn_tpu.parallel.mesh import make_mesh
 from incagg_gnn_tpu.train.trainer import Trainer, TrainerConfig
 
+pytestmark = pytest.mark.full
+
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 virtual devices")
 class TestShardedGAS:

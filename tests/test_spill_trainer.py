@@ -9,6 +9,8 @@ from incagg_gnn_tpu.models import GCN, GCNConfig, GCN2, GCN2Config
 from incagg_gnn_tpu.train.spill_trainer import SpillVRTrainer
 from incagg_gnn_tpu.train.trainer import Trainer, TrainerConfig
 
+pytestmark = pytest.mark.full
+
 
 class TestSpillTrainer:
     def _cfg(self, data, in_c, out_c):

@@ -268,6 +268,7 @@ class TestSingletonShuffleCache:
         assert calls["n"] == 2 * ns.num_clusters  # re-sampled every epoch
 
 
+@pytest.mark.full
 class TestStaticGroups:
     def test_static_groups_replay_fixed_composition(self):
         """static_groups: multi-cluster batches collate once; epochs replay
@@ -305,3 +306,41 @@ class TestStaticGroups:
             drop_input=False, batch_norm=False, residual=False))
         res = Trainer(model, d, cfg).fit()
         assert res["best_test"] > 0.6, res
+
+
+class TestAutoFormatGate:
+    """Pin the worker-crash mitigation (VERDICT r1 #8): `adj_format=auto`
+    must route tiny train batches (< 4096 expected rows) to COO — the
+    composed hybrid train step intermittently crashed the v5e worker at
+    ~1.4K-row shapes (docs/RESULTS.md "train-step worker-crash bisection",
+    bisected on jax 0.9.0 / XLA:TPU of 2026-08-18) — and larger batches to
+    the scatter-free tiers.  An intentional threshold change must be loud."""
+
+    def _trainer(self, n_nodes, num_parts, batch_size, **kw):
+        from incagg_gnn_tpu.graph.datasets import make_sbm
+        from incagg_gnn_tpu.models import GCN, GCNConfig
+        from incagg_gnn_tpu.train.trainer import Trainer, TrainerConfig
+
+        data, in_c, out_c = make_sbm(num_nodes=n_nodes, num_classes=4,
+                                     num_features=16, avg_degree=8.0, seed=3)
+        model = GCN(GCNConfig(
+            num_nodes=data.num_nodes, in_channels=in_c, hidden_channels=16,
+            out_channels=out_c, num_layers=2, dropout=0.0, drop_input=False,
+            batch_norm=False, residual=False))
+        tcfg = TrainerConfig(num_parts=num_parts, batch_size=batch_size,
+                             vr_update=True, epochs=1, seed=0, **kw)
+        return Trainer(model, data, tcfg)
+
+    def test_small_batches_fall_back_to_coo(self):
+        tr = self._trainer(2000, num_parts=8, batch_size=1)  # ~250 rows
+        assert tr.train_loader.adj_format == "coo"
+        # eval sweeps (forward-only) never showed the instability: stay tiered
+        assert tr.eval_loader.adj_format in ("hybrid-fwd", "block-fwd")
+
+    def test_large_batches_use_scatter_free_tier(self):
+        tr = self._trainer(6000, num_parts=4, batch_size=4)  # ~6000 rows
+        assert tr.train_loader.adj_format in ("block", "hybrid")
+
+    def test_edge_dropout_forces_coo(self):
+        tr = self._trainer(6000, num_parts=4, batch_size=4, edge_dropout=0.1)
+        assert tr.train_loader.adj_format == "coo"

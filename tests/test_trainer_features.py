@@ -11,6 +11,8 @@ from incagg_gnn_tpu.graph.datasets import make_sbm
 from incagg_gnn_tpu.models import GCN, GCNConfig, GraphSAGE, SAGEConfig
 from incagg_gnn_tpu.train.trainer import Trainer, TrainerConfig
 
+pytestmark = pytest.mark.full
+
 
 def make_trainer(data, in_c, out_c, **tkw):
     cfg = GCNConfig(num_nodes=data.num_nodes, in_channels=in_c,
