@@ -36,7 +36,8 @@ D = 256
 ROOFLINE_F32 = HBM_BW / (3 * D * 4)  # 266.6M edges/s — the fixed baseline
 
 
-def _bench_shape(name, n, avg_degree, fmt, dtype_s, num_parts, iters=10):
+def _bench_shape(name, n, avg_degree, fmt, dtype_s, num_parts, classes,
+                 iters=10):
     import jax
     import jax.numpy as jnp
     import ml_dtypes
@@ -48,7 +49,7 @@ def _bench_shape(name, n, avg_degree, fmt, dtype_s, num_parts, iters=10):
         build_block_hybrid, plan_block_tier, spmm_block)
     from incagg_gnn_tpu.ops.ell import build_hybrid_adj, spmm_hybrid
 
-    data, _, _ = make_sbm(num_nodes=n, num_classes=16, num_features=8,
+    data, _, _ = make_sbm(num_nodes=n, num_classes=classes, num_features=8,
                           avg_degree=avg_degree, seed=0)
     adj = data.adj_t
     if fmt == "block":
@@ -122,10 +123,14 @@ def main():
         pass
 
     shapes = [
-        # round-1 headline row kept first (VERDICT r1 #1)
-        ("arxiv", 100_000, 14.0, "hybrid", "f32", 80),
-        ("products", 100_000, 50.0, "block", "bf16", 80),
-        ("reddit", 233_000, 100.0, "block", "bf16", 200),
+        # round-1 headline row kept first (VERDICT r1 #1); community widths
+        # follow the sbm presets (reddit = 41 classes: ~5.7K-wide
+        # communities give the high LOCAL block density real reddit has —
+        # 16 classes is the uniform-density pessimum, docs/RESULTS.md
+        # "Products-mid ... when the tier pays")
+        ("arxiv", 100_000, 14.0, "hybrid", "f32", 80, 16),
+        ("products", 100_000, 50.0, "block", "bf16", 80, 16),
+        ("reddit", 233_000, 100.0, "block", "bf16", 200, 41),
     ]
     suite = []
     for args in shapes:

@@ -28,6 +28,7 @@ gathers, which it rejects; docs/RESULTS.md "Pallas gather re-probe").
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -149,6 +150,17 @@ def plan_block_tier(
     counts = np.unique(key, return_counts=True)[1]
     # marginal break-even, then verify globally (k / overflow interactions)
     thresh = marginal_thresh(x_itemsize, a_itemsize, d_hint)
+    # SMEM prefetch budget: the kernel scalar-prefetches one s32 block-col
+    # id per tile (bcols [LANES, steps]) plus one s32 per grid step
+    # (brow_step) = ~5 B/tile of SMEM per pallas_call.  Past ~200K tiles
+    # the scoped allocation exceeds the v5e's SMEM and compilation fails
+    # (hit at the 234K-tile reddit-shape full graph); raise the threshold
+    # until the densest `tile_cap` blocks remain — the ones the tier is
+    # for — and let the rest ride the hybrid remainder.
+    tile_cap = int(os.environ.get("INCAGG_BLOCK_TILE_CAP", "150000"))
+    if int((counts >= thresh).sum()) > tile_cap:
+        sc = np.sort(counts)
+        thresh = max(thresh, int(sc[sc.size - tile_cap]) + 1)
     base, tiered, e_dense = _cost_ns(
         counts, int(col.size), thresh, deg, x_itemsize, a_itemsize, d_hint)
     if e_dense == 0 or tiered > base * (1.0 - min_gain):

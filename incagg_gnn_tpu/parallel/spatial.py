@@ -961,6 +961,29 @@ class ShardedVRTrainer:
         )
         self.rng = restored["rng"]
 
+    # -- per-process sharded checkpoint protocol (ShardedCheckpointManager):
+    # multi-host saves must not gather the O(num_nodes) history stacks
+    def replicated_checkpoint_state(self):
+        return {
+            "params": self.params,
+            "opt_state": self.opt_state,
+            "state": self.state,
+            "rng": self.rng,
+        }
+
+    def restore_replicated(self, restored):
+        self.params = restored["params"]
+        self.opt_state = restored["opt_state"]
+        self.state = restored["state"]
+        self.rng = restored["rng"]
+
+    def hist_arrays(self):
+        return {"hist_emb": self.hist.emb, "hist_emb_ag": self.hist.emb_ag}
+
+    def set_hist_arrays(self, arrs):
+        self.hist = HistoryState(emb=arrs["hist_emb"],
+                                 emb_ag=arrs["hist_emb_ag"])
+
     def fit(self, epochs: Optional[int] = None) -> Dict[str, float]:
         epochs = self.cfg.epochs if epochs is None else epochs
         self.refresh()

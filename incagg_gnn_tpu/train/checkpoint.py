@@ -105,6 +105,7 @@ class CheckpointManager:
         cks = sorted(
             f for f in os.listdir(self.dir)
             if f.startswith("ckpt_") and f.endswith(".npz")
+            and ".hist-" not in f
         )
         return os.path.join(self.dir, cks[-1]) if cks else None
 
@@ -119,7 +120,8 @@ class CheckpointManager:
         """
         cks = sorted(
             (f for f in os.listdir(self.dir)
-             if f.startswith("ckpt_") and f.endswith(".npz")),
+             if f.startswith("ckpt_") and f.endswith(".npz")
+             and ".hist-" not in f),
             reverse=True,
         )
         for name in cks:
@@ -146,12 +148,125 @@ class CheckpointManager:
         return False
 
     def _gc(self):
+        import re
+
+        names = os.listdir(self.dir)
+        stems = sorted({m.group(1) for f in names
+                        if (m := re.match(r"(ckpt_\d+)\.", f))})
+        for stem in stems[: -self.keep]:
+            for f in names:
+                if f.startswith(stem + "."):
+                    try:
+                        os.remove(os.path.join(self.dir, f))
+                    except FileNotFoundError:
+                        pass  # another process's _gc won the race
+
+
+class ShardedCheckpointManager(CheckpointManager):
+    """Per-process sharded saves for multi-host :class:`ShardedVRTrainer`
+    runs (VERDICT r1 #6).
+
+    The base manager gathers BOTH full history stacks to one host on every
+    save — fine at 1 host, but at N hosts that is an O(num_nodes) DCN
+    gather the training step itself never performs.  Here each process
+    writes only the device shards it addresses (``sh.data`` is already
+    host-local; nothing crosses the network) and process 0 additionally
+    writes the small replicated leaves.  Restore is the reverse: each
+    process reads the row ranges covering its addressable devices and
+    reassembles with ``jax.make_array_from_single_device_arrays``.
+
+    File layout per checkpoint epoch E:
+      ``ckpt_E.npz`` (+ ``.meta.json``) — replicated leaves (params,
+      optimizer, BN state, RNG), written by process 0 only
+      ``ckpt_E.hist-pXXX.npz`` — process XXX's history shards, one entry
+      per (stack, row_start)
+    """
+
+    def save(self, trainer, epoch: int, extra: Optional[dict] = None):
+        import jax
+
+        pidx = jax.process_index()
+        base = os.path.join(self.dir, f"ckpt_{epoch:06d}")
+        arrs = {}
+        for name, arr in trainer.hist_arrays().items():
+            seen = set()
+            for sh in arr.addressable_shards:
+                start = sh.index[1].start or 0
+                if start in seen:  # dim replicated across devices
+                    continue
+                seen.add(start)
+                arrs[f"{name}:{start}"] = _to_savable(sh.data)
+        spath = base + f".hist-p{pidx:03d}.npz"
+        np.savez(spath + ".tmp", **arrs)
+        os.replace(spath + ".tmp.npz", spath)
+        if pidx == 0:
+            save_pytree(base + ".npz", trainer.replicated_checkpoint_state(),
+                        meta={"epoch": epoch, "sharded_hist": True,
+                              **(extra or {})})
+        self._gc()
+
+    def maybe_restore(self, trainer) -> bool:
+        import glob
+
+        import jax
+
         cks = sorted(
-            f for f in os.listdir(self.dir)
-            if f.startswith("ckpt_") and f.endswith(".npz")
+            (f for f in os.listdir(self.dir)
+             if f.startswith("ckpt_") and f.endswith(".npz")
+             and ".hist-" not in f),
+            reverse=True,
         )
-        for f in cks[: -self.keep]:
-            os.remove(os.path.join(self.dir, f))
-            meta = os.path.join(self.dir, f + ".meta.json")
-            if os.path.exists(meta):
-                os.remove(meta)
+        for name in cks:
+            path = os.path.join(self.dir, name)
+            try:
+                restored = load_pytree(
+                    path, trainer.replicated_checkpoint_state())
+                with open(path + ".meta.json") as f:
+                    meta = json.load(f)
+                shard_files = sorted(glob.glob(path[:-4] + ".hist-p*.npz"))
+                if not shard_files:
+                    raise FileNotFoundError("no .hist-p*.npz shard files")
+                # lazy zips: only the members this process needs are read
+                zs = [np.load(f) for f in shard_files]
+                index = {}
+                for z in zs:
+                    for key in z.files:
+                        nm, start = key.rsplit(":", 1)
+                        index[(nm, int(start))] = (z, key)
+                hist = {}
+                for nm, arr in trainer.hist_arrays().items():
+                    imap = arr.sharding.addressable_devices_indices_map(
+                        arr.shape)
+                    pieces = []
+                    for dev, idx in imap.items():
+                        start = idx[1].start or 0
+                        want = tuple(
+                            len(range(*sl.indices(dim)))
+                            for sl, dim in zip(idx, arr.shape))
+                        z, key = index[(nm, start)]
+                        data = np.asarray(z[key])
+                        if data.shape != want:
+                            raise ValueError(
+                                f"checkpoint shard {key} has shape "
+                                f"{data.shape} but the mesh expects {want} "
+                                f"— saved under a different layout/config?")
+                        pieces.append(jax.device_put(
+                            data.astype(arr.dtype), dev))
+                    hist[nm] = jax.make_array_from_single_device_arrays(
+                        arr.shape, arr.sharding, pieces)
+            except ValueError:
+                raise  # layout/config mismatch — same policy as load_pytree
+            except Exception as e:  # truncated zip, missing shards/meta
+                import warnings
+
+                warnings.warn(
+                    f"skipping unreadable checkpoint {path}: "
+                    f"{type(e).__name__}: {e}"
+                )
+                continue
+            trainer.restore_replicated(restored)
+            trainer.set_hist_arrays(hist)
+            trainer.epoch = meta["epoch"] + 1
+            trainer.restored_meta = meta
+            return True
+        return False

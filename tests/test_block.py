@@ -51,6 +51,28 @@ class TestBlockTier:
             spmm_block(adj.binarized(), x),
             spmm_hybrid(hyb.binarized(), x), atol=1e-4)
 
+    def test_tile_cap_raises_threshold(self, rng, monkeypatch):
+        """SMEM prefetch budget (ops/block.py): the plan must keep the
+        dense-tile count under INCAGG_BLOCK_TILE_CAP by raising the
+        threshold — one s32 per tile is scalar-prefetched to SMEM, and
+        a 234K-tile graph failed Mosaic compilation outright."""
+        import numpy as np
+
+        g = clustered_graph(rng)
+        n_pad = 640
+        th0 = plan_block_tier(g.rowptr, g.col, n_pad, x_itemsize=4)
+        assert th0 is not None
+        deg = np.diff(g.rowptr)
+        row = np.repeat(np.arange(g.rowptr.size - 1), deg)
+        key = (row // 128) * (n_pad // 128) + g.col // 128
+        counts = np.unique(key, return_counts=True)[1]
+        n0 = int((counts >= th0).sum())
+        assert n0 > 2
+        monkeypatch.setenv("INCAGG_BLOCK_TILE_CAP", "2")
+        th1 = plan_block_tier(g.rowptr, g.col, n_pad, x_itemsize=4)
+        if th1 is not None:  # cost model may reject the shrunken tier
+            assert int((counts >= th1).sum()) <= 2
+
     def test_static_nb_pad_bucket(self, rng):
         g = clustered_graph(rng, n=400, clusters=4)
         n_pad = 512
