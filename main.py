@@ -348,9 +348,19 @@ def _run_once(args, run_cfg, data, in_c, out_c, eval_graphs=None):
 
     ckpt = None
     if args.checkpoint_dir:
-        from incagg_gnn_tpu.train.checkpoint import CheckpointManager
+        import jax
 
-        ckpt = CheckpointManager(args.checkpoint_dir)
+        from incagg_gnn_tpu.train.checkpoint import (
+            CheckpointManager, ShardedCheckpointManager)
+
+        # multi-host pods save per-process history shards (no full gather);
+        # single-host keeps the gathered single-file format.
+        # INCAGG_SHARDED_CKPT=1 forces the sharded path (virtual-mesh tests)
+        sharded_ck = hasattr(trainer, "hist_arrays") and (
+            jax.process_count() > 1
+            or os.environ.get("INCAGG_SHARDED_CKPT") == "1")
+        mgr = ShardedCheckpointManager if sharded_ck else CheckpointManager
+        ckpt = mgr(args.checkpoint_dir)
         ckpt.maybe_restore(trainer)
 
     def inductive_eval(ev):

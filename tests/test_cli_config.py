@@ -284,6 +284,59 @@ class TestCheckpointVariants:
         e1, e2 = t1.evaluate(), t2.evaluate()
         assert abs(e1["test_acc"] - e2["test_acc"]) < 1e-6
 
+    def test_sharded_per_process_roundtrip(self, sbm_small, tmp_path):
+        """Per-process sharded checkpointing (VERDICT r1 #6): the save path
+        writes each device's history slab from its addressable shard —
+        NO full-array gather — and restore reassembles onto the mesh."""
+        import jax
+
+        if len(jax.devices()) < 4:
+            import pytest
+            pytest.skip("needs >=4 virtual devices")
+        from incagg_gnn_tpu.models import GCN, GCNConfig
+        from incagg_gnn_tpu.parallel.mesh import make_mesh
+        from incagg_gnn_tpu.parallel.spatial import ShardedVRTrainer
+        from incagg_gnn_tpu.train.checkpoint import ShardedCheckpointManager
+        from incagg_gnn_tpu.train.trainer import TrainerConfig
+
+        data, in_c, out_c = sbm_small
+        cfg = GCNConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                        hidden_channels=16, out_channels=out_c, num_layers=2,
+                        dropout=0.0, drop_input=False)
+        tcfg = TrainerConfig(num_parts=8, batch_size=1, vr_update=True, seed=0)
+        t1 = ShardedVRTrainer(GCN(cfg), data, tcfg, mesh=make_mesh(4))
+        t1.refresh()
+        t1.train_epoch()
+        cm = ShardedCheckpointManager(str(tmp_path))
+        cm.save(t1, epoch=3)
+
+        # file layout: replicated pytree + one hist shard file per process
+        assert (tmp_path / "ckpt_000003.npz").exists()
+        shard = tmp_path / "ckpt_000003.hist-p000.npz"
+        assert shard.exists()
+        z = np.load(shard)
+        emb_keys = sorted(k for k in z.files if k.startswith("hist_emb:"))
+        assert len(emb_keys) == 4  # one slab per device — never the full array
+        full_rows = t1.hist.emb.shape[1]
+        for k in emb_keys:
+            assert z[k].shape[1] == full_rows // 4, (k, z[k].shape)
+
+        t2 = ShardedVRTrainer(GCN(cfg), data, tcfg, mesh=make_mesh(4))
+        assert cm.maybe_restore(t2)
+        assert t2.epoch == 4
+        assert np.allclose(np.asarray(t1.hist.emb), np.asarray(t2.hist.emb))
+        assert np.allclose(np.asarray(t1.hist.emb_ag),
+                           np.asarray(t2.hist.emb_ag))
+        assert t2.hist.emb.sharding.is_equivalent_to(
+            t1.hist.emb.sharding, t1.hist.emb.ndim)
+        e1, e2 = t1.evaluate(), t2.evaluate()
+        assert abs(e1["test_acc"] - e2["test_acc"]) < 1e-6
+        # GC removes whole checkpoint epochs including their shard files
+        cm.save(t2, epoch=4)
+        cm.save(t2, epoch=5)
+        assert not (tmp_path / "ckpt_000003.npz").exists()
+        assert not shard.exists()
+
     def test_corrupt_latest_falls_back(self, sbm_tiny, tmp_path):
         """A truncated newest checkpoint is skipped (warning) and the older
         readable one restored; a shape mismatch raises a clear error."""
