@@ -369,6 +369,37 @@ class ScalableGNN:
         self._refresh_fns[key] = jfn
         return jfn
 
+    def _refresh_all_scan_fn(self, vr: bool, use_aggregation: bool,
+                             nchunks: int):
+        """The ENTIRE refresh sweep as one jitted program: an unrolled layer
+        loop, each layer scanning over every resident batch chunk.  The
+        layer barrier stays (layer l+1 reads OB rows layer l wrote for
+        *other* batches), but all L x nchunks dispatches collapse to one —
+        the per-dispatch latency of a remote-tunnel link otherwise
+        dominates the sweep (VERDICT r1 #5)."""
+        key = (vr, use_aggregation, nchunks, "all")
+        if key in self._refresh_fns:
+            return self._refresh_fns[key]
+        L = self.cfg.num_layers
+        steps = [self._refresh_batch_step(layer, vr, use_aggregation)
+                 for layer in range(L)]
+
+        def fn(params, state, hist, x_table, out_table, chunks):
+            for layer in range(L):
+                def body(carry, batch, _step=steps[layer]):
+                    h, o = _step(params, state, carry[0], x_table, carry[1],
+                                 batch)
+                    return (h, o), None
+
+                for stack in chunks:
+                    (hist, out_table), _ = jax.lax.scan(
+                        body, (hist, out_table), stack)
+            return hist, out_table
+
+        jfn = jax.jit(fn, donate_argnums=(2, 4))
+        self._refresh_fns[key] = jfn
+        return jfn
+
     #: feature width of the x0 cache (overridden where needs_x0)
     x0_dim = 0
 
@@ -383,10 +414,16 @@ class ScalableGNN:
         vr: bool = False,
         use_aggregation: bool = True,
         scan: bool = True,
+        subset=None,
     ) -> Tuple[np.ndarray, HistoryState, jnp.ndarray]:
         """Layer-wise sweep over all eval batches: recompute every layer's
         history (and, with ``vr=True``, the M_in/M_ag caches) and return the
         full-graph logits.
+
+        ``subset`` (optional batch indices) refreshes only those batches —
+        the partial-refresh path (Trainer ``refresh_frac``): skipped
+        clusters keep their previous caches and out_table logits, the
+        bounded-staleness contract GAS already lives with.
 
         Reference: ``mini_inference`` (base.py:509-603) /
         ``mini_inference_vr`` (e.g. gcn.py:335-410); called once before
@@ -397,6 +434,8 @@ class ScalableGNN:
         if out_table is None:
             out_table = jnp.zeros((n + 1, self.cfg.out_channels), jnp.float32)
         batches = list(loader)
+        if subset is not None:
+            batches = [batches[i] for i in subset]
         # scanned path needs homogeneous batch shapes (loader buckets
         # guarantee this unless a bucket grew mid-materialization) and no
         # subclass refresh override (PNA_JK customizes the final layer)
@@ -442,21 +481,28 @@ class ScalableGNN:
             cached = [make_chunk(i) for i in chunk_starts] if resident else None
             from incagg_gnn_tpu.utils.prefetch import prefetch
 
-            for layer in range(self.cfg.num_layers):
+            if resident:
+                # whole sweep in ONE dispatch (layer loop unrolled inside)
                 _heartbeat()
-                jfn = self._refresh_layer_scan_fn(layer, vr, use_aggregation)
-                if resident:
-                    stacks = iter(cached)
-                else:
+                jfn = self._refresh_all_scan_fn(vr, use_aggregation,
+                                                len(cached))
+                hist, out_table = jfn(
+                    params, state, hist, x_table, out_table, cached
+                )
+            else:
+                for layer in range(self.cfg.num_layers):
+                    _heartbeat()
+                    jfn = self._refresh_layer_scan_fn(
+                        layer, vr, use_aggregation)
                     # stage the next chunk on a background thread while the
                     # device works on the current one
                     stacks = prefetch(
                         (make_chunk(i) for i in chunk_starts), depth=1
                     )
-                for stack in stacks:
-                    hist, out_table = jfn(
-                        params, state, hist, x_table, out_table, stack
-                    )
+                    for stack in stacks:
+                        hist, out_table = jfn(
+                            params, state, hist, x_table, out_table, stack
+                        )
         else:
             for layer in range(self.cfg.num_layers):
                 jfn = self._refresh_layer_fn(layer, vr, use_aggregation)

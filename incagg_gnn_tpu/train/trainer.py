@@ -72,6 +72,15 @@ class TrainerConfig:
     # EMA blending of refreshed caches (reference:
     # update_period_hist_momentum, graphsage.py:963-976); 0 = hard overwrite
     hist_momentum: float = 0.0
+    # Partial refresh: each periodic refresh sweeps only this fraction of
+    # the eval batches, rotating stalest-first (round-robin), so every
+    # cluster is refreshed at least once per ceil(1/frac) epochs.  Cuts the
+    # refresh sweep — the post-fill wall-clock bottleneck at products scale
+    # (docs/RESULTS.md) — at the cost of bounded extra staleness for the
+    # skipped clusters (their caches/logits keep the previous sweep's
+    # values, the same contract GAS already has).  The initial fill is
+    # always complete.  1.0 = full refresh (reference behavior).
+    refresh_frac: float = 1.0
     # adjacency format: "auto" picks the scatter-free hybrid ELL+COO path
     # (1.7x faster on v5e) except where COO is required (GAT attention,
     # edge dropout); or force "coo" / "hybrid"
@@ -361,7 +370,8 @@ class Trainer:
     # ---------------- phases ----------------
     def _refresh(self) -> np.ndarray:
         """Layer-wise cache refresh, optionally EMA-blended
-        (update_period_hist_momentum, graphsage.py:963-976)."""
+        (update_period_hist_momentum, graphsage.py:963-976) and optionally
+        partial (refresh_frac: rotating stalest-first window)."""
         self._steps_since_refresh = 0
         mom = self.cfg.hist_momentum
         # the refresh donates the live cache buffers, so the EMA base must be
@@ -369,10 +379,19 @@ class Trainer:
         old = (
             jax.tree.map(jnp.copy, self.hist) if 0.0 < mom < 1.0 else None
         )
+        subset = None
+        frac = self.cfg.refresh_frac
+        nb = len(self.eval_loader)
+        if 0.0 < frac < 1.0 and nb > 1:
+            # fixed window size keeps the scanned-refresh shapes static
+            w = max(1, int(np.ceil(nb * frac)))
+            cur = getattr(self, "_refresh_cursor", 0)
+            subset = [(cur + j) % nb for j in range(w)]
+            self._refresh_cursor = (cur + w) % nb
         logits, self.hist, self.out_table = self.model.refresh(
             self.params, self.state, self.tables.x, self.eval_loader, self.hist,
             self.out_table, vr=self.cfg.vr_update,
-            use_aggregation=self.cfg.use_aggregation,
+            use_aggregation=self.cfg.use_aggregation, subset=subset,
         )
         if old is not None:
             self.hist = jax.tree.map(

@@ -257,6 +257,18 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", plat)
 
+    # persistent compilation cache: compiles through a remote-chip tunnel
+    # take minutes; reuse them across runs (harmless elsewhere)
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ.get("INCAGG_COMPILE_CACHE",
+                                         "/tmp/incagg_jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     if args.supervise > 0:
         if not args.checkpoint_dir:
             ap.error("--supervise requires --checkpoint-dir")
