@@ -27,6 +27,7 @@ from incagg_gnn_tpu.ops.ell import (
     BiHybridAdj,
     HybridAdj,
     spmm_bi as _bi_sum,
+    spmm_bi_max as _bi_max,
     spmm_bi_mean as _bi_mean,
     spmm_hybrid as _hyb_sum,
     spmm_hybrid_max as _hyb_max,
@@ -74,7 +75,7 @@ def spmm_max(adj, x):
             "use hybrid/coo formats for max/min models (trainer gates this)"
         )
     if isinstance(adj, BiHybridAdj):
-        return _hyb_max(adj.fwd, x)  # autodiff backward (niche)
+        return _bi_max(adj, x)  # scatter-free transpose backward
     if isinstance(adj, HybridAdj):
         return _hyb_max(adj, x)
     return _coo_max(adj, x)

@@ -238,6 +238,42 @@ class TestShardedPNATrueVR:
         m = sharded.train_epoch()
         assert np.isfinite(m["loss"])
 
+    def _cfg(self, data, in_c, out_c, true_vr, aggregators):
+        from incagg_gnn_tpu.models import PNAConfig, compute_avg_deg
+
+        lin_d, log_d = compute_avg_deg(data.adj_t.degrees() + 1)
+        return PNAConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                         hidden_channels=32, out_channels=out_c, num_layers=2,
+                         dropout=0.0, drop_input=False, true_vr=true_vr,
+                         aggregators=aggregators, scalers=("identity",),
+                         avg_deg_lin=lin_d, avg_deg_log=log_d)
+
+    def test_sharded_true_vr_max_training_learns(self, sbm_small):
+        """true-VR PNA with a max branch trains under ShardedVRTrainer —
+        the scatter-free spmm_bi_max backward runs inside shard_map."""
+        from incagg_gnn_tpu.models import PNA
+
+        data, in_c, out_c = sbm_small
+        cfg = self._cfg(data, in_c, out_c, True, ("mean", "max"))
+        tcfg = TrainerConfig(num_parts=8, batch_size=1, vr_update=True,
+                             epochs=8, lr=0.01, seed=0)
+        tr = ShardedVRTrainer(PNA(cfg), data, tcfg, mesh=make_mesh(4))
+        res = tr.fit()
+        assert res["best_test"] > 0.7, res
+
+    def test_sharded_mock_vr_training_learns(self, sbm_small):
+        """The reference's shipped 'mock' VR behavior (plain IB propagation,
+        pna.py:235,270) under the sharded trainer."""
+        from incagg_gnn_tpu.models import PNA
+
+        data, in_c, out_c = sbm_small
+        cfg = self._cfg(data, in_c, out_c, False, ("sum", "mean"))
+        tcfg = TrainerConfig(num_parts=8, batch_size=1, vr_update=True,
+                             epochs=8, lr=0.01, seed=0)
+        tr = ShardedVRTrainer(PNA(cfg), data, tcfg, mesh=make_mesh(4))
+        res = tr.fit()
+        assert res["best_test"] > 0.7, res
+
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 virtual devices")
 def test_sharded_gat_gas(sbm_small):
