@@ -119,6 +119,26 @@ _SBM_PRESETS = {
     "sbm-reddit-mid": (100_000, 41, 602, 100.0),
 }
 
+# "Hard" presets: full make_sbm kwargs calibrated so test accuracy lands in
+# the 0.6-0.8 band with GNN >> MLP — the non-saturated accuracy benchmark
+# (a VR-staleness or hyperparameter regression moves the number, unlike the
+# easy presets above whose accuracy saturates at ~1.0).  Calibrated on CPU,
+# 3-layer GCN, 25 epochs (docs/RESULTS.md "Hard-SBM accuracy suite"):
+# sbm-arxiv-hard -> GAS 0.74 / VR 0.74 / MLP 0.21.
+_SBM_HARD_PRESETS = {
+    "sbm-arxiv-hard": dict(
+        num_nodes=20_000, num_classes=16, num_features=64, avg_degree=12.0,
+        p_in=0.4, feature_noise=6.0, train_frac=0.05,
+    ),
+    # products degree (50) smooths noise over ~4x more neighbors, so the
+    # same band needs much lower homophily (calibrated: p_in 0.3 -> 0.985,
+    # 0.25 -> 0.909, 0.2 -> 0.666 GAS vs 0.180 MLP)
+    "sbm-products-hard": dict(
+        num_nodes=50_000, num_classes=16, num_features=64, avg_degree=50.0,
+        p_in=0.2, feature_noise=8.0, train_frac=0.05,
+    ),
+}
+
 
 # datasets whose val/test live on *separate graphs* (reference: get_ppi with
 # split= returns disjoint graph sets, data.py:100-107; main.py:167-175,244-249
@@ -202,6 +222,8 @@ def get_data(root: str, name: str, split: str = "train",
     if name in _SBM_PRESETS:
         n, c, f, d = _SBM_PRESETS[name]
         return make_sbm(num_nodes=n, num_classes=c, num_features=f, avg_degree=d, **kwargs)
+    if name in _SBM_HARD_PRESETS:
+        return make_sbm(**{**_SBM_HARD_PRESETS[name], **kwargs})
     if name == "sbm":
         return make_sbm(**kwargs)
     return load_npz_dataset(root, name,
