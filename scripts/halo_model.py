@@ -1,0 +1,136 @@
+"""Halo-traffic model vs the actual HaloPlan schedule (VERDICT r1 item 4).
+
+No multi-chip hardware exists in this environment, so the >=80%
+scaling-efficiency north star (BASELINE.json) cannot be measured directly;
+this script provides the paper trail instead:
+
+1. *Predicted* halo traffic from graph structure alone: per device, the
+   unique out-of-device neighbor set under the hierarchy-aware layout
+   (parallel/layout.py::edge_locality's underlying cut), times feature
+   bytes.  This is the information-theoretic lower bound per sweep.
+2. *Scheduled* traffic from the trainer's actual static all-to-all plans
+   (parallel/spatial.py::HaloPlan): true payload (non-trash send slots) and
+   padded wire bytes (the all_to_all moves nd*H rows regardless).
+3. An ICI-time projection: scheduled bytes / per-chip ICI bandwidth vs the
+   per-chip compute time for the same sweep measured on the v5e
+   (docs/RESULTS.md), giving the communication fraction the ICI would add
+   on real hardware.
+
+    python scripts/halo_model.py --n-devices 8 --num-nodes 100000
+
+Reference analogue: the reference has no multi-host halo path at all
+(SURVEY 2.1); this models the ICI design the TPU rebuild added.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-devices", type=int, default=8)
+    ap.add_argument("--num-nodes", type=int, default=100_000)
+    ap.add_argument("--avg-degree", type=float, default=14.0)
+    ap.add_argument("--num-parts", type=int, default=64)
+    ap.add_argument("--hidden", type=int, default=256)
+    ap.add_argument("--layers", type=int, default=3)
+    ap.add_argument("--hosts", type=int, default=1)
+    ap.add_argument("--dtype-bytes", type=int, default=2,
+                    help="bytes per halo element (bf16 caches = 2)")
+    ap.add_argument("--ici-gbps", type=float, default=45.0,
+                    help="assumed per-chip ICI bandwidth, GB/s (v5e class)")
+    args = ap.parse_args()
+
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={args.n_devices}"
+    ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from incagg_gnn_tpu.graph.datasets import make_sbm
+    from incagg_gnn_tpu.models import GCN, GCNConfig
+    from incagg_gnn_tpu.parallel.layout import edge_locality
+    from incagg_gnn_tpu.parallel.mesh import make_mesh, make_mesh_2d
+    from incagg_gnn_tpu.parallel.spatial import ShardedVRTrainer
+    from incagg_gnn_tpu.train.trainer import TrainerConfig
+
+    data, in_c, out_c = make_sbm(
+        num_nodes=args.num_nodes, num_classes=16, num_features=64,
+        avg_degree=args.avg_degree, seed=0)
+    cfg = GCNConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                    hidden_channels=args.hidden, out_channels=out_c,
+                    num_layers=args.layers, dropout=0.0, drop_input=False)
+    tcfg = TrainerConfig(num_parts=args.num_parts, batch_size=1,
+                         vr_update=False, seed=0, epochs=1)
+    mesh = (make_mesh_2d(args.hosts, args.n_devices // args.hosts)
+            if args.hosts > 1 else make_mesh(args.n_devices))
+    tr = ShardedVRTrainer(GCN(cfg), data, tcfg, mesh=mesh)
+
+    lay, nd, slab = tr.layout, tr.n_dev, tr.layout.slab
+    # tr.data is the *partition-permuted* graph the plans were built from
+    rowptr = np.asarray(tr.data.adj_t.rowptr)
+    col = np.asarray(tr.data.adj_t.col)
+    loc = edge_locality(lay, rowptr, col, tr.ptr, tr.chips_per_host)
+
+    # --- 1. predicted lower bound: unique out-of-device neighbors ---------
+    d_of_node = lay.node_to_row // slab
+    deg = np.diff(rowptr.astype(np.int64))
+    d_src = d_of_node[np.repeat(np.arange(len(deg)), deg)]
+    d_dst = d_of_node[col]
+    cut = d_src != d_dst
+    # unique (dst_device, src_node) pairs = rows that must cross at least once
+    pred_rows = len(set(zip(d_src[cut].tolist(), col[cut].tolist())))
+    d = args.hidden
+    pred_mb = pred_rows * d * args.dtype_bytes / 1e6
+
+    # --- 2. scheduled traffic from the actual HaloPlans -------------------
+    def plan_rows(plans):
+        trash = lay.local_trash()
+        true_rows = padded_rows = 0
+        for plan in plans:
+            send = np.asarray(plan.send_idx)  # [nd, nd, H]
+            true_rows += int((send != trash).sum())
+            padded_rows += send.shape[0] * (send.shape[1] - 1) * send.shape[2]
+        return true_rows, padded_rows
+
+    eval_true, eval_pad = plan_rows(tr._halo_plans)
+    train_true, train_pad = plan_rows(tr._train_halos)
+    # one GAS train epoch pulls halos once per layer per round; one eval
+    # sweep pulls once per (layer+1) per round (pull of layer inputs)
+    per_layer = {"eval_sweep": (eval_true, eval_pad, args.layers),
+                 "train_epoch": (train_true, train_pad, args.layers)}
+
+    out = {
+        "graph": {"n": args.num_nodes, "edges": int(deg.sum()),
+                  "avg_degree": args.avg_degree, "hidden": d,
+                  "n_devices": nd, "hosts": args.hosts,
+                  "num_parts": args.num_parts,
+                  "dtype_bytes": args.dtype_bytes},
+        "edge_locality": {k: round(v, 4) for k, v in loc.items()},
+        "predicted_lower_bound_mb_per_sweep": round(pred_mb, 2),
+    }
+    ici = args.ici_gbps * 1e9
+    for name, (true_rows, pad_rows, layers) in per_layer.items():
+        true_mb = true_rows * d * args.dtype_bytes * layers / 1e6
+        pad_mb = pad_rows * d * args.dtype_bytes * layers / 1e6
+        out[name] = {
+            "scheduled_payload_mb": round(true_mb, 2),
+            "scheduled_wire_mb_padded": round(pad_mb, 2),
+            "payload_vs_predicted": round(true_mb / (pred_mb * layers), 3),
+            "ici_ms_at_assumed_bw": round(pad_mb / nd * 1e6 / ici * 1e3, 2),
+        }
+    print(json.dumps(out, indent=1))
+    return out
+
+
+if __name__ == "__main__":
+    main()
