@@ -1,0 +1,97 @@
+"""Reference-protocol accuracy parity suite on the hard SBM presets.
+
+Mirrors the reference's results protocol (``--runs`` repeats, mean +- std;
+README.md:53-75 table shape) on the calibrated non-saturated presets
+(graph/datasets.py::_SBM_HARD_PRESETS), across the model family x both
+update rules — the environment-portable stand-in for the real-dataset
+table (no dataset files exist here; VERDICT r1 item 2).
+
+    python scripts/accuracy_suite.py --runs 3 --out docs/accuracy_suite_r02.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("INCAGG_PLATFORM", "cpu")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--epochs", type=int, default=25)
+    ap.add_argument("--datasets", nargs="+",
+                    default=["sbm-arxiv-hard", "sbm-products-hard"])
+    ap.add_argument("--models", nargs="+",
+                    default=["gcn", "gcn2", "appnp", "sage"])
+    ap.add_argument("--out", default="docs/accuracy_suite_r02.json")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from incagg_gnn_tpu.graph.datasets import get_data
+    from incagg_gnn_tpu.models import (APPNP, GCN, GCN2, APPNPConfig,
+                                       GCNConfig, GCN2Config, GraphSAGE,
+                                       SAGEConfig)
+    from incagg_gnn_tpu.train.trainer import Trainer, TrainerConfig
+
+    def build(model_name, n, in_c, out_c):
+        common = dict(num_nodes=n, in_channels=in_c, out_channels=out_c,
+                      hidden_channels=64, dropout=0.3)
+        if model_name == "gcn":
+            return GCN(GCNConfig(num_layers=3, drop_input=False,
+                                 batch_norm=True, **common))
+        if model_name == "gcn2":
+            return GCN2(GCN2Config(num_layers=4, drop_input=False,
+                                   batch_norm=True, alpha=0.1, theta=0.5,
+                                   **common))
+        if model_name == "appnp":
+            return APPNP(APPNPConfig(num_layers=3, alpha=0.1, **common))
+        if model_name == "sage":
+            return GraphSAGE(SAGEConfig(num_layers=3, drop_input=False,
+                                        batch_norm=True, **common))
+        raise ValueError(model_name)
+
+    results = {}
+    for ds in args.datasets:
+        for model_name in args.models:
+            for mode, vr in (("gas", False), ("reverb", True)):
+                accs = []
+                for run in range(args.runs):
+                    data, in_c, out_c = get_data("/tmp", ds, seed=run)
+                    model = build(model_name, data.num_nodes, in_c, out_c)
+                    tcfg = TrainerConfig(
+                        num_parts=16, batch_size=4, vr_update=vr,
+                        epochs=args.epochs, lr=0.01, seed=run,
+                        log_every=1000)
+                    t0 = time.time()
+                    res = Trainer(model, data, tcfg).fit()
+                    accs.append(float(res["best_test"]))
+                    print(f"{ds} {model_name}-{mode} run{run}: "
+                          f"{accs[-1]:.4f} [{time.time()-t0:.0f}s]",
+                          flush=True)
+                key = f"{ds}/{model_name}-{mode}"
+                results[key] = {
+                    "mean": round(float(np.mean(accs)), 4),
+                    "std": round(float(np.std(accs)), 4),
+                    "runs": accs,
+                }
+                with open(args.out, "w") as f:
+                    json.dump({"protocol": {"runs": args.runs,
+                                            "epochs": args.epochs,
+                                            "hidden": 64, "num_parts": 16,
+                                            "batch_size": 4, "lr": 0.01},
+                               "results": results}, f, indent=1)
+    print("DONE", args.out)
+
+
+if __name__ == "__main__":
+    main()
