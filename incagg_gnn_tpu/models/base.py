@@ -452,20 +452,29 @@ class ScalableGNN:
             int(np.prod(l.shape)) * l.dtype.itemsize for l in ref_leaves
         )
         total_bytes = per_batch_bytes * len(batches)
-        # non-resident chunked scanning restages every chunk once per LAYER
-        # (L x transfers); the per-batch path transfers each batch once per
-        # refresh.  Only scan when the stacks stay resident or the batch
-        # count is small enough that restaging is cheap.
+        # trainers size this from measured HBM headroom (the fixed default
+        # silently demoted bytes-heavy stacks to per-batch dispatch)
+        budget = getattr(self, "_refresh_hbm_budget", 1_500_000_000)
+        # batches already living on the device (loader device cache) make
+        # chunk (re)stacking a pure HBM copy — scanning then costs no host
+        # transfers, only ~L*total_bytes of on-chip copies, and saves
+        # len(batches)*L dispatches (90 ms each through a remote tunnel:
+        # the 72 s products-scale eval sweep, docs/RESULTS.md)
+        on_device = all(isinstance(l, jax.Array) for l in ref_leaves)
+        # non-resident chunked scanning of HOST batches restages every chunk
+        # once per LAYER (L x transfers); the per-batch path transfers each
+        # batch once per refresh.  Only scan host batches when the stacks
+        # stay resident or the batch count is small enough that restaging
+        # is cheap.
         use_scan = (
             scan and homogeneous and len(batches) > 1
-            and (total_bytes <= 1_500_000_000 or len(batches) <= 64)
+            and (on_device or total_bytes <= budget or len(batches) <= 64)
             and type(self)._refresh_layer_fn == ScalableGNN._refresh_layer_fn
         )
         if use_scan:
-            # chunk the scan so the staged batch stack stays within a fixed
-            # HBM budget; the tail chunk is padded by repeating the last batch
+            # chunk the scan so the staged batch stack stays within the HBM
+            # budget; the tail chunk is padded by repeating the last batch
             # (refresh pushes are idempotent, so repeats are harmless)
-            budget = 1_500_000_000
             chunk = max(1, min(len(batches), budget // max(per_batch_bytes, 1)))
             devs = [b.device for b in batches]
             while len(devs) % chunk:

@@ -284,6 +284,9 @@ class Trainer:
             # silently demoted them to per-step dispatch, which costs ~60 ms
             # a step through a remote tunnel, docs/RESULTS.md)
             self._fused_budget = max(1_500_000_000, int(headroom * 0.25))
+            # the refresh sweep's chunked-scan stack shares the same
+            # headroom pool (models/base.py refresh budget)
+            model._refresh_hbm_budget = self._fused_budget
         if mesh is not None:
             # node-row sharding of all [N+1, ...] state; GSPMD handles the
             # cross-shard pulls/pushes in the jitted steps.  Row counts are

@@ -298,3 +298,42 @@ class TestPartialRefresh:
     def test_converges_with_partial_refresh(self, sbm_small):
         res = self._trainer(sbm_small, 0.5).fit()
         assert res["best_test"] > 0.8, res["best_test"]
+
+
+class TestChunkedDeviceScanRefresh:
+    def test_on_device_overbudget_scan_matches_per_batch(self):
+        """Device-resident eval stacks engage the chunked refresh scan even
+        when batch count and total bytes exceed the host-restaging gates
+        (the 72 s products-scale per-batch eval sweep, docs/RESULTS.md):
+        with a deliberately tiny HBM budget the sweep runs multi-chunk
+        per layer and must equal the per-batch (scan=False) sweep."""
+        import jax
+        import jax.numpy as jnp
+
+        data, in_c, out_c = make_sbm(num_nodes=2000, num_classes=4,
+                                     num_features=8, avg_degree=6.0, seed=0)
+        cfg = GCNConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                        hidden_channels=16, out_channels=out_c, num_layers=2,
+                        dropout=0.0, drop_input=False)
+        t = Trainer(GCN(cfg), data,
+                    TrainerConfig(num_parts=70, batch_size=1, seed=0,
+                                  vr_update=True, epochs=1))
+        batches = list(t.eval_loader)
+        leaves = jax.tree_util.tree_leaves(batches[0].device)
+        assert len(batches) > 64
+        assert all(isinstance(l, jax.Array) for l in leaves)
+        per = sum(int(np.prod(l.shape)) * l.dtype.itemsize for l in leaves)
+        # budget of ~3 batches -> many chunks, resident stacked copy refused
+        t.model._refresh_hbm_budget = 3 * per
+
+        logits_scan, hist_scan, out_scan = t.model.refresh(
+            t.params, t.state, t.tables.x, t.eval_loader,
+            jax.tree.map(jnp.zeros_like, t.hist), None, vr=True)
+        logits_ref, hist_ref, out_ref = t.model.refresh(
+            t.params, t.state, t.tables.x, t.eval_loader,
+            jax.tree.map(jnp.zeros_like, t.hist), None, vr=True, scan=False)
+        assert np.allclose(logits_scan, logits_ref, atol=1e-5)
+        assert np.allclose(np.asarray(hist_scan.emb),
+                           np.asarray(hist_ref.emb), atol=1e-5)
+        assert np.allclose(np.asarray(hist_scan.emb_ag),
+                           np.asarray(hist_ref.emb_ag), atol=1e-5)
