@@ -476,6 +476,10 @@ class ScalableGNN:
             # budget; the tail chunk is padded by repeating the last batch
             # (refresh pushes are idempotent, so repeats are harmless)
             chunk = max(1, min(len(batches), budget // max(per_batch_bytes, 1)))
+            # balance chunk sizes (150 batches at cap 93 -> 2x75, not 93+57
+            # padded to 93+93: padding repeats are idempotent but not free)
+            n_chunks = -(-len(batches) // chunk)
+            chunk = -(-len(batches) // n_chunks)
             devs = [b.device for b in batches]
             while len(devs) % chunk:
                 devs.append(devs[-1])
