@@ -38,12 +38,14 @@ def main():
     import numpy as np
 
     from incagg_gnn_tpu.graph.datasets import get_data
-    from incagg_gnn_tpu.models import (APPNP, GCN, GCN2, APPNPConfig,
-                                       GCNConfig, GCN2Config, GraphSAGE,
-                                       SAGEConfig)
+    from incagg_gnn_tpu.models import (APPNP, GAT, GCN, GCN2, PNA,
+                                       APPNPConfig, GATConfig, GCNConfig,
+                                       GCN2Config, GraphSAGE, PNAConfig,
+                                       SAGEConfig, compute_avg_deg)
     from incagg_gnn_tpu.train.trainer import Trainer, TrainerConfig
 
-    def build(model_name, n, in_c, out_c):
+    def build(model_name, data, in_c, out_c):
+        n = data.num_nodes
         common = dict(num_nodes=n, in_channels=in_c, out_channels=out_c,
                       hidden_channels=64, dropout=0.3)
         if model_name == "gcn":
@@ -58,6 +60,17 @@ def main():
         if model_name == "sage":
             return GraphSAGE(SAGEConfig(num_layers=3, drop_input=False,
                                         batch_norm=True, **common))
+        if model_name == "pna":
+            import numpy as _np
+
+            deg = _np.diff(_np.asarray(data.adj_t.rowptr))
+            lin, log = compute_avg_deg(deg)
+            return PNA(PNAConfig(num_layers=2, drop_input=False,
+                                 avg_deg_lin=lin, avg_deg_log=log,
+                                 true_vr=True, **common))
+        if model_name == "gat":
+            return GAT(GATConfig(num_layers=2, hidden_heads=4, out_heads=1,
+                                 **common))
         raise ValueError(model_name)
 
     results = {}
@@ -67,7 +80,7 @@ def main():
                 accs = []
                 for run in range(args.runs):
                     data, in_c, out_c = get_data("/tmp", ds, seed=run)
-                    model = build(model_name, data.num_nodes, in_c, out_c)
+                    model = build(model_name, data, in_c, out_c)
                     tcfg = TrainerConfig(
                         num_parts=16, batch_size=4, vr_update=vr,
                         epochs=args.epochs, lr=0.01, seed=run,
