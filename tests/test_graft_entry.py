@@ -23,4 +23,6 @@ class TestGraftEntry:
     def test_dryrun_multichip(self):
         import __graft_entry__ as g
 
-        g.dryrun_multichip(4)
+        # 8 on the standard virtual mesh exercises the composed pod-slice
+        # case (4x2 2-D mesh GAS + block tier + sharded checkpoint restore)
+        g.dryrun_multichip(min(8, len(jax.devices())))
