@@ -415,10 +415,17 @@ class ScalableGNN:
         use_aggregation: bool = True,
         scan: bool = True,
         subset=None,
-    ) -> Tuple[np.ndarray, HistoryState, jnp.ndarray]:
+        host_logits: bool = True,
+    ) -> Tuple[Optional[np.ndarray], HistoryState, jnp.ndarray]:
         """Layer-wise sweep over all eval batches: recompute every layer's
         history (and, with ``vr=True``, the M_in/M_ag caches) and return the
         full-graph logits.
+
+        ``host_logits=False`` skips the host readback of the [N, C] logits
+        (returns ``None`` in its place) — callers computing metrics on
+        device (utils.metrics.split_metrics_device) only need the returned
+        ``out_table``; at products scale the readback dominated eval wall
+        clock through a slow link (docs/RESULTS.md).
 
         ``subset`` (optional batch indices) refreshes only those batches —
         the partial-refresh path (Trainer ``refresh_frac``): skipped
@@ -524,5 +531,5 @@ class ScalableGNN:
                     hist, out_table = jfn(
                         params, state, hist, x_table, out_table, hb.device
                     )
-        logits = np.asarray(out_table[:n])
+        logits = np.asarray(out_table[:n]) if host_logits else None
         return logits, hist, out_table

@@ -371,7 +371,7 @@ class Trainer:
             print(f"Trainer ready [{time.perf_counter() - t:.2f}s]")
 
     # ---------------- phases ----------------
-    def _refresh(self) -> np.ndarray:
+    def _refresh(self, host_logits: bool = True) -> Optional[np.ndarray]:
         """Layer-wise cache refresh, optionally EMA-blended
         (update_period_hist_momentum, graphsage.py:963-976) and optionally
         partial (refresh_frac: rotating stalest-first window)."""
@@ -395,6 +395,7 @@ class Trainer:
             self.params, self.state, self.tables.x, self.eval_loader, self.hist,
             self.out_table, vr=self.cfg.vr_update,
             use_aggregation=self.cfg.use_aggregation, subset=subset,
+            host_logits=host_logits,
         )
         if old is not None:
             self.hist = jax.tree.map(
@@ -588,11 +589,26 @@ class Trainer:
 
     def evaluate(self) -> Dict[str, float]:
         """Layer-wise inference + cache refresh, then micro-F1 on all splits
-        (main.py:231-249)."""
+        (main.py:231-249).  Metrics are computed ON DEVICE from the logits
+        table — only three scalars come back to the host (the full [N, C]
+        readback dominated eval wall clock at products scale through a
+        slow link, docs/RESULTS.md)."""
         t0 = time.perf_counter()
-        logits = self._refresh()
+        self._refresh(host_logits=False)
+        if not hasattr(self, "_split_metrics_fn"):
+            from incagg_gnn_tpu.utils.metrics import split_metrics_device
+
+            self._split_metrics_fn = jax.jit(split_metrics_device)
+        tb = self.tables
+        rows = self.out_table.shape[0]
+        tr, va, te = self._split_metrics_fn(
+            self.out_table, tb.y[:rows], tb.train_mask[:rows],
+            tb.val_mask[:rows], tb.test_mask[:rows])
+        out = {"train_acc": float(tr), "val_acc": float(va),
+               "test_acc": float(te)}
         self._last_eval_s = time.perf_counter() - t0  # refresh incl. sync
-        return self.metrics_from_logits(logits)
+        self.metrics.log("eval", **out, eval_s=self._last_eval_s)
+        return out
 
     def metrics_from_logits(self, logits: np.ndarray) -> Dict[str, float]:
         """Split accuracies from already-computed full-graph logits (in the

@@ -41,6 +41,34 @@ def compute_micro_f1(
     return 2 * precision * recall / (precision + recall)
 
 
+def split_metrics_device(out_table, y, train_mask, val_mask, test_mask):
+    """All three split accuracies computed ON DEVICE from the [N+1, C]
+    logits table (same semantics as :func:`compute_micro_f1`): the host
+    reads back three scalars instead of the full logits — at products
+    scale that readback (N*C floats through a slow link) dominated eval
+    wall clock (docs/RESULTS.md).  The trailing pad row is excluded by the
+    masks (False there by construction, train/tables.py)."""
+    import jax.numpy as jnp
+
+    def one(mask):
+        denom = jnp.maximum(mask.sum(), 1)
+        if y.ndim == 1:
+            hit = (jnp.argmax(out_table, axis=-1) == y) & mask
+            return hit.sum() / denom
+        y_pred = (out_table > 0) & mask[:, None]
+        y_true = (y > 0.5) & mask[:, None]
+        tp = (y_true & y_pred).sum()
+        fp = (~y_true & y_pred).sum()
+        fn = (y_true & ~y_pred).sum()
+        precision = tp / jnp.maximum(tp + fp, 1)
+        recall = tp / jnp.maximum(tp + fn, 1)
+        return jnp.where(precision + recall > 0,
+                         2 * precision * recall
+                         / jnp.maximum(precision + recall, 1e-30), 0.0)
+
+    return one(train_mask), one(val_mask), one(test_mask)
+
+
 def gen_masks(
     y: np.ndarray,
     train_per_class: int = 20,

@@ -337,3 +337,32 @@ class TestChunkedDeviceScanRefresh:
                            np.asarray(hist_ref.emb), atol=1e-5)
         assert np.allclose(np.asarray(hist_scan.emb_ag),
                            np.asarray(hist_ref.emb_ag), atol=1e-5)
+
+
+class TestDeviceMetrics:
+    """evaluate() computes split metrics on device (3-scalar readback);
+    must equal the host compute_micro_f1 path in both label modes."""
+
+    def _check(self, multilabel):
+        from incagg_gnn_tpu.models import GraphSAGE, SAGEConfig
+
+        data, in_c, out_c = make_sbm(num_nodes=1500, num_classes=5,
+                                     num_features=12, avg_degree=8.0,
+                                     seed=0, multilabel=multilabel)
+        cfg = SAGEConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                         hidden_channels=16, out_channels=out_c,
+                         num_layers=2, dropout=0.0, drop_input=False)
+        t = Trainer(GraphSAGE(cfg), data,
+                    TrainerConfig(num_parts=4, batch_size=2, seed=0,
+                                  vr_update=True, epochs=1))
+        t.fit()
+        dev = t.evaluate()
+        host = t.metrics_from_logits(t._refresh())
+        for k in ("train_acc", "val_acc", "test_acc"):
+            assert abs(dev[k] - host[k]) < 1e-6, (k, dev, host)
+
+    def test_single_label(self):
+        self._check(False)
+
+    def test_multilabel(self):
+        self._check(True)
