@@ -478,6 +478,13 @@ class ScalableGNN:
             and (on_device or total_bytes <= budget or len(batches) <= 64)
             and type(self)._refresh_layer_fn == ScalableGNN._refresh_layer_fn
         )
+        # introspection for probes/tests (scripts/probes, test_trainer_features)
+        self._last_refresh_plan = {
+            "use_scan": use_scan, "on_device": on_device,
+            "homogeneous": homogeneous, "n_batches": len(batches),
+            "per_batch_mb": round(per_batch_bytes / 1e6, 2),
+            "budget_mb": round(budget / 1e6, 1),
+        }
         if use_scan:
             # chunk the scan so the staged batch stack stays within the HBM
             # budget; the tail chunk is padded by repeating the last batch
@@ -491,6 +498,7 @@ class ScalableGNN:
             while len(devs) % chunk:
                 devs.append(devs[-1])
             resident = len(devs) * per_batch_bytes <= budget
+            self._last_refresh_plan.update(chunk=chunk, resident=resident)
 
             def make_chunk(i):
                 return jax.tree.map(

@@ -200,12 +200,16 @@ class ShardedVRTrainer:
         else:
             row_y = scatter_table(lay, data.y.astype(np.float32))
         row_tm = scatter_table(lay, data.train_mask.astype(bool), fill=False)
+        row_vm = scatter_table(lay, data.val_mask.astype(bool), fill=False)
+        row_em = scatter_table(lay, data.test_mask.astype(bool), fill=False)
 
         node_sh = NamedSharding(self.mesh, P(self.axis))
         node_sh2 = NamedSharding(self.mesh, P(self.axis, None))
         self.x_tab = jax.device_put(row_x, node_sh2)
         self.y_tab = jax.device_put(row_y, node_sh if row_y.ndim == 1 else node_sh2)
         self.tm_tab = jax.device_put(row_tm, node_sh)
+        self.vm_tab = jax.device_put(row_vm, node_sh)
+        self.em_tab = jax.device_put(row_em, node_sh)
 
         # ---- sharded history ----
         from incagg_gnn_tpu.history import resolve_dtype
@@ -816,7 +820,7 @@ class ShardedVRTrainer:
         )
 
     # ------------------------------------------------------------------
-    def refresh(self) -> np.ndarray:
+    def refresh(self, host_logits: bool = True) -> Optional[np.ndarray]:
         self._steps_since_refresh = 0
         if getattr(self, "_eval_rounds_stacked", None) is None:
             self._stack_eval_rounds()
@@ -827,6 +831,8 @@ class ShardedVRTrainer:
                 self.params, self.state, self.hist, self.x_tab,
                 self.out_tab, self._eval_rounds_stacked,
                 self._halo_plans_stacked)
+        if not host_logits:
+            return None
         out_rows = np.asarray(self.out_tab)
         valid = self.layout.row_to_node >= 0
         logits = np.zeros((self.data.num_nodes, out_rows.shape[1]), np.float32)
@@ -928,7 +934,19 @@ class ShardedVRTrainer:
                 "epoch_s": time.perf_counter() - t0}
 
     def evaluate(self) -> Dict[str, float]:
-        return self.metrics_from_logits(self.refresh())
+        """Split metrics computed on device over the sharded logits slab —
+        the host reads back three scalars, not the gathered [N, C] table
+        (same rationale as Trainer.evaluate; trash/pad rows are excluded
+        because their mask-table entries are False by scatter fill)."""
+        self.refresh(host_logits=False)
+        if not hasattr(self, "_split_metrics_fn"):
+            from incagg_gnn_tpu.utils.metrics import split_metrics_device
+
+            self._split_metrics_fn = jax.jit(split_metrics_device)
+        tr, va, te = self._split_metrics_fn(
+            self.out_tab, self.y_tab, self.tm_tab, self.vm_tab, self.em_tab)
+        return {"train_acc": float(tr), "val_acc": float(va),
+                "test_acc": float(te)}
 
     def metrics_from_logits(self, logits: np.ndarray) -> Dict[str, float]:
         d = self.data
