@@ -151,9 +151,15 @@ def _supervise(raw_argv, retries: int, ckpt_dir: str,
                 last = os.path.getmtime(hb_path)
             except OSError:
                 last = start  # no beat yet: measure from launch
-            if time.time() - max(last, start) > stall_s:
+            # before the FIRST beat of this attempt, the child is in
+            # startup (imports, partition, jit compile) where silence is
+            # legitimate — the transport-wedge mode this watchdog targets
+            # strikes mid-run.  Grant a grace window so a loaded host or a
+            # slow first compile isn't killed as a stall.
+            limit = stall_s if last > start else max(stall_s * 5.0, 60.0)
+            if time.time() - max(last, start) > limit:
                 log.error(
-                    f"supervisor: no heartbeat for {stall_s:.0f}s — killing "
+                    f"supervisor: no heartbeat for {limit:.0f}s — killing "
                     f"stalled child {p.pid}"
                 )
                 p.kill()

@@ -73,9 +73,12 @@ class TestHardSBMBands:
         data, in_c, out_c = hard
 
         class NoRefreshTrainer(Trainer):
-            def _refresh(self):
+            def _refresh(self, host_logits=True):
                 if not hasattr(self, "_stale_logits"):
                     self._stale_logits = super()._refresh()
+                    self._stale_out_table = self.out_table
+                # keep the logits table stale too (evaluate reads it)
+                self.out_table = self._stale_out_table
                 return self._stale_logits
 
         from incagg_gnn_tpu.models import GCN as _GCN
