@@ -407,3 +407,27 @@ class TestStallRecovery:
             assert json.load(f)["epoch"] == 2
         # the supervisor wrote/monitored the heartbeat file
         assert os.path.exists(os.path.join(ck, ".heartbeat")), out
+
+    def test_startup_grace_spares_slow_first_compile(self, tmp_path):
+        """Before a child's FIRST heartbeat the stall window is widened to
+        a startup grace (imports/partition/jit compile emit no beats): a
+        healthy run under a stall window shorter than its compile time
+        must complete without a single kill (this was a loaded-host flake
+        before the grace existed)."""
+        import subprocess
+        import sys
+
+        ck = str(tmp_path / "ck")
+        env = dict(os.environ, INCAGG_PLATFORM="cpu")
+        p = subprocess.run(
+            [sys.executable, os.path.join(REPO, "main.py"),
+             "--model", os.path.join(REPO, "conf/model/gcn.yaml"),
+             "--dataset", "sbm-small",
+             "--checkpoint-dir", ck, "--supervise", "1",
+             "--supervise-stall-s", "2",
+             "epochs=1", "num_parts=4", "batch_size=2", "vr_update=true"],
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=900,
+        )
+        out = p.stdout + p.stderr
+        assert p.returncode == 0, out
+        assert "no heartbeat" not in out, out
