@@ -10,19 +10,40 @@ GCNII/APPNP-products, GraphSAGE-reddit), each on the tier the trainer's
   products-shape deg 50,  block+remainder, bf16
   reddit-shape   deg 100, block+remainder, bf16
 
+plus, for each shape, a TRAIN-STEP row (forward + transpose backward via
+the custom-VJP bi-format, VERDICT r2 #6) — the quantity that decides epoch
+time, not just the forward aggregation.
+
 All rows are scan-chained so the result is data-dependent end-to-end (no
 async-dispatch timing artifacts through the axon tunnel).
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "suite"}.
-The headline row is the best tier (reddit-shape block).  vs_baseline =
-edges/s divided by a FIXED reference bound: the HBM-bandwidth roofline of
-an ideal gather-based SpMM at d=256 f32 on one v5e chip (819 GB/s /
-(3 row moves x 256 x 4 B) = 266.6M edges/s).  The reference publishes no
-throughput numbers (BASELINE.md), so this speed-of-light denominator is
-the honest baseline; the dense MXU tier can exceed 1.0 by moving fewer
-bytes per edge than any gather formulation — that is the design win.
-The per-row "vs_tier_roofline" additionally reports each row against the
-same bound scaled to its own compute dtype (bf16 moves half the bytes).
+Robustness (VERDICT r2 "what's weak" #1 — the BENCH_r02 arxiv row collapsed
+14x to 8.9M edges/s on the driver's run while the identical code measures
+126M when re-run; root cause: transient chip/tunnel contention, not a code
+regression — the r1->r2 diff of the arxiv path is empty and the row
+reproduces at the r1 value, see docs/RESULTS.md "BENCH_r02 arxiv collapse"):
+  * two warm-up calls per row before timing (first-call-after-compile and
+    allocator-growth effects excluded),
+  * adaptive repeats: keep timing until the two best runs agree within 5%
+    (min 3, max 10 timed calls),
+  * regression guard: every row is compared against the committed
+    prior-round value (PRIOR below); a row below 0.7x prior is re-warmed
+    and re-timed once from scratch, and if still low it is flagged in a
+    "regressions" list in the output JSON so a bad environment can never
+    again masquerade silently as a kernel regression.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "suite",
+"regressions"}.  The headline row is the best forward tier (reddit-shape
+block).  vs_baseline = edges/s divided by a FIXED reference bound: the
+HBM-bandwidth roofline of an ideal gather-based SpMM at d=256 f32 on one
+v5e chip (819 GB/s / (3 row moves x 256 x 4 B) = 266.6M edges/s).  The
+reference publishes no throughput numbers (BASELINE.md), so this
+speed-of-light denominator is the honest baseline; the dense MXU tier can
+exceed 1.0 by moving fewer bytes per edge than any gather formulation —
+that is the design win.  Per-row "vs_tier_roofline" reports each row
+against the same bound scaled to its own compute dtype (bf16 moves half
+the bytes); train rows against half that bound (each edge is aggregated
+twice per step: A@x forward, A^T@g backward).
 """
 
 import json
@@ -35,10 +56,54 @@ HBM_BW = 819e9  # v5e HBM bytes/s
 D = 256
 ROOFLINE_F32 = HBM_BW / (3 * D * 4)  # 266.6M edges/s — the fixed baseline
 
+# Committed prior-round per-row values (edges/s) — the regression guard.
+# fwd rows: BENCH_r01 / docs/RESULTS.md kernel tables, re-confirmed on-chip
+# 2026-08-21.  train rows: first committed in round 3.
+PRIOR = {
+    ("arxiv", "fwd"): 126.3e6,
+    ("products", "fwd"): 205.0e6,
+    ("reddit", "fwd"): 236.6e6,
+    ("arxiv", "train"): None,
+    ("products", "train"): None,
+    ("reddit", "train"): None,
+}
+GUARD_RATIO = 0.7
 
-def _bench_shape(name, n, avg_degree, fmt, dtype_s, num_parts, classes,
-                 iters=10):
+
+def _setup_jax():
     import jax
+
+    # persistent compilation cache: compiles through the chip tunnel take
+    # minutes; cache them across bench invocations
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/incagg_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    return jax
+
+
+def _time_run(run, warmups=2, min_reps=3, max_reps=10, rtol=0.05):
+    """Best wall time of an already-jitted nullary thunk.
+
+    Two warm-ups, then timed calls until the two fastest agree within
+    ``rtol`` (or ``max_reps``).  Returns best seconds."""
+    for _ in range(warmups):
+        run()
+    times = []
+    for i in range(max_reps):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+        if i + 1 >= min_reps:
+            a, b = sorted(times)[:2]
+            if b - a <= rtol * a:
+                break
+    return min(times)
+
+
+def _build(name, n, avg_degree, fmt, dtype_s, num_parts, classes, kind):
+    """Returns (ops, fn, fmt, e, x) for one row."""
     import jax.numpy as jnp
     import ml_dtypes
 
@@ -46,8 +111,10 @@ def _bench_shape(name, n, avg_degree, fmt, dtype_s, num_parts, classes,
     from incagg_gnn_tpu.graph.datasets import make_sbm
     from incagg_gnn_tpu.graph.partition import partition_graph
     from incagg_gnn_tpu.ops.block import (
-        build_block_hybrid, plan_block_tier, spmm_block)
-    from incagg_gnn_tpu.ops.ell import build_hybrid_adj, spmm_hybrid
+        build_bi_block_hybrid, build_block_hybrid, plan_block_tier,
+        spmm_block, spmm_block_bi)
+    from incagg_gnn_tpu.ops.ell import (
+        build_bi_hybrid_adj, build_hybrid_adj, spmm_bi, spmm_hybrid)
 
     data, _, _ = make_sbm(num_nodes=n, num_classes=classes, num_features=8,
                           avg_degree=avg_degree, seed=0)
@@ -64,63 +131,109 @@ def _bench_shape(name, n, avg_degree, fmt, dtype_s, num_parts, classes,
     a_np = ml_dtypes.bfloat16 if dtype_s == "bf16" else np.float32
     itemsize = 2 if dtype_s == "bf16" else 4
 
+    def _cast_hyb(h):
+        return h._replace(ell_vals=h.ell_vals.astype(dt),
+                          ovf_vals=h.ovf_vals.astype(dt))
+
     ops, fn = None, None
     if fmt == "block":
         th = plan_block_tier(adj.rowptr, adj.col, n_pad,
                              x_itemsize=itemsize, a_itemsize=itemsize,
                              d_hint=D)
         if th is not None:
-            blk = build_block_hybrid(adj.rowptr, adj.col, adj.value,
-                                     n_pad, n_pad, thresh=th, a_dtype=a_np)
-            blk = blk._replace(rem=blk.rem._replace(
-                ell_vals=blk.rem.ell_vals.astype(dt),
-                ovf_vals=blk.rem.ovf_vals.astype(dt)))
-            ops, fn = blk, spmm_block
+            if kind == "train":
+                blk = build_bi_block_hybrid(adj.rowptr, adj.col, adj.value,
+                                            n_pad, n_pad, thresh=th,
+                                            a_dtype=a_np)
+                blk = blk._replace(fwd=blk.fwd._replace(rem=_cast_hyb(blk.fwd.rem)),
+                                   bwd=blk.bwd._replace(rem=_cast_hyb(blk.bwd.rem)))
+                ops, fn = blk, spmm_block_bi
+            else:
+                blk = build_block_hybrid(adj.rowptr, adj.col, adj.value,
+                                         n_pad, n_pad, thresh=th,
+                                         a_dtype=a_np)
+                blk = blk._replace(rem=_cast_hyb(blk.rem))
+                ops, fn = blk, spmm_block
         else:
             fmt = "hybrid"  # tier auto-rejected: report the actual path
     if ops is None:
-        hyb = build_hybrid_adj(adj.rowptr, adj.col, adj.value, n_pad, n_pad)
-        hyb = hyb._replace(ell_vals=hyb.ell_vals.astype(dt),
-                           ovf_vals=hyb.ovf_vals.astype(dt))
-        ops, fn = hyb, spmm_hybrid
+        if kind == "train":
+            bi = build_bi_hybrid_adj(adj.rowptr, adj.col, adj.value,
+                                     n_pad, n_pad)
+            ops = bi._replace(fwd=_cast_hyb(bi.fwd), bwd=_cast_hyb(bi.bwd))
+            fn = spmm_bi
+        else:
+            ops = _cast_hyb(build_hybrid_adj(adj.rowptr, adj.col, adj.value,
+                                             n_pad, n_pad))
+            fn = spmm_hybrid
 
     x = jnp.asarray(
         np.random.default_rng(1).standard_normal((n_pad, D)) * 0.1, dt)
+    return ops, fn, fmt, e, x
+
+
+def _bench_shape(name, n, avg_degree, fmt, dtype_s, num_parts, classes,
+                 kind="fwd", iters=10):
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    itemsize = 2 if dtype_s == "bf16" else 4
+    ops, fn, fmt, e, x = _build(name, n, avg_degree, fmt, dtype_s,
+                                num_parts, classes, kind)
+
+    if kind == "train":
+        # fwd + transpose-bwd per iteration, chained through x so the scan
+        # stays data-dependent (grad enters the next carry)
+        def step(h):
+            out, vjp = jax.vjp(lambda v: fn(ops, v), h)
+            (g,) = vjp(out)
+            return (h - 1e-3 * g.astype(h.dtype)).astype(h.dtype)
+    else:
+        def step(h):
+            return fn(ops, h).astype(h.dtype)
 
     @jax.jit
     def run(x, ops):
         def body(h, _):
-            return fn(ops, h), None
+            return step(h), None
         h, _ = jax.lax.scan(body, x, None, length=iters)
         return h.sum()
 
-    float(run(x, ops))  # compile + first run
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
+    def timed():
         float(run(x, ops))  # scalar readback forces completion
-        best = min(best, time.perf_counter() - t0)
-    edges_per_s = e / (best / iters)
+
+    def measure():
+        return e / (_time_run(timed) / iters)
+
+    edges_per_s = measure()
+    prior = PRIOR.get((name, kind))
+    regressed = prior is not None and edges_per_s < GUARD_RATIO * prior
+    if regressed:
+        # one full re-warm + re-time: transient tunnel/chip contention is
+        # the known failure mode (BENCH_r02 arxiv row) — never let one bad
+        # window stand as the number of record without a second look
+        print(f"# guard: {name}/{kind} {edges_per_s:.3g} < "
+              f"{GUARD_RATIO}x prior {prior:.3g}; re-timing",
+              file=sys.stderr)
+        edges_per_s = max(edges_per_s, measure())
+        regressed = edges_per_s < GUARD_RATIO * prior
+
     tier_roof = HBM_BW / (3 * D * itemsize)
+    if kind == "train":
+        tier_roof = tier_roof / 2  # two aggregations per edge per step
     return {
-        "shape": name, "fmt": fmt, "dtype": dtype_s,
+        "shape": name, "kind": kind, "fmt": fmt, "dtype": dtype_s,
         "n": n, "edges": e,
         "edges_per_s": round(edges_per_s),
         "vs_baseline": round(edges_per_s / ROOFLINE_F32, 4),
         "vs_tier_roofline": round(edges_per_s / tier_roof, 4),
+        "vs_prior": round(edges_per_s / prior, 4) if prior else None,
+        "regressed": regressed,
     }
 
 
 def main():
-    import jax
-
-    # persistent compilation cache: compiles through the chip tunnel take
-    # minutes; cache them across bench invocations
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/incagg_jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    _setup_jax()
 
     shapes = [
         # round-1 headline row kept first (VERDICT r1 #1); community widths
@@ -134,11 +247,15 @@ def main():
     ]
     suite = []
     for args in shapes:
-        row = _bench_shape(*args)
-        suite.append(row)
-        print(f"# {row}", file=sys.stderr)
+        for kind in ("fwd", "train"):
+            row = _bench_shape(*args, kind=kind)
+            suite.append(row)
+            print(f"# {row}", file=sys.stderr)
 
-    head = max(suite, key=lambda r: r["vs_baseline"])
+    head = max((r for r in suite if r["kind"] == "fwd"),
+               key=lambda r: r["vs_baseline"])
+    regressions = [f"{r['shape']}/{r['kind']}" for r in suite
+                   if r.get("regressed")]
     print(json.dumps({
         "metric": f"spmm_agg_edges_per_s_per_chip_d256_{head['shape']}"
                   f"_{head['fmt']}",
@@ -146,6 +263,7 @@ def main():
         "unit": "edges/s",
         "vs_baseline": head["vs_baseline"],
         "suite": suite,
+        "regressions": regressions,
     }))
 
 

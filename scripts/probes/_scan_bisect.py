@@ -2,10 +2,12 @@
 to ~0.5 ms?  Bisects the scan body: compute-only vs scatter-only vs both,
 and scatter hints (unique+sorted)."""
 
+import os
 import time
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", ".."))
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -12,7 +12,10 @@ paths = glob.glob(f"{root}/**/*.json.gz", recursive=True) + glob.glob(
     f"{root}/**/*trace.json", recursive=True)
 if not paths:
     sys.exit(f"no perfetto trace under {root}")
-path = max(paths, key=lambda p: len(p))
+import os
+
+path = max(paths, key=os.path.getmtime)
+print(f"# parsing {path}", file=sys.stderr)
 opener = gzip.open if path.endswith(".gz") else open
 with opener(path, "rt") as f:
     data = json.load(f)
