@@ -61,19 +61,64 @@ def _round_up(x: int, a: int) -> int:
     return max(a, ((x + a - 1) // a) * a)
 
 
-def _make_exchange(halo, axis: str):
-    """Build the [slab, D] -> [C_pad, D] halo-assembly function for one
-    device's HaloPlan (static all_to_all over the mesh axis)."""
-    nd, h = halo.send_idx.shape
+def _halo_collect(halo, axis, src_local, wire: str = "dense"):
+    """The collective half of a halo exchange: gather this device's send
+    rows and move them over the mesh axis; returns the flattened
+    ``[nd*H, D]`` receive buffer ``remote_pos`` indexes into.
 
-    def exchange(src_local):
-        send = jnp.take(src_local, halo.send_idx.reshape(-1), axis=0)
+    ``wire`` selects the on-the-wire packing (identical receive layout):
+
+    - ``dense``: plain ``all_to_all`` — every (src, dst) pair moves the
+      global-max ``H`` rows, so wire bytes are padded ~2.5x beyond the
+      payload (VERDICT r2 item 4).  Runs on every backend.
+    - ``ragged``: ``lax.ragged_all_to_all`` over the SAME staging layout —
+      chunk j starts at ``j*H`` but only ``send_sizes[j]`` rows travel, so
+      wire bytes == true payload.  The receive buffer is still ``[nd*H, D]``
+      with src o's rows at ``o*H`` (``output_offsets = my_index*H`` on every
+      peer), so assembly is unchanged.  TPU-only (XLA:CPU has no
+      ragged-all-to-all thunk) and forward-only (no transpose rule), hence
+      refresh/eval default on TPU meshes while training halos stay dense.
+    """
+    nd, h = halo.send_idx.shape
+    send = jnp.take(src_local, halo.send_idx.reshape(-1), axis=0)
+    if wire == "loopback":
+        # comm-off control for scaling decomposition (scripts/scaling_bench):
+        # keep the full staging gather + assembly memory traffic but skip
+        # the wire — isolates the collective's wall-time contribution.
+        # NUMERICALLY WRONG across >1 device (remote rows read the local
+        # send staging); benchmark-only.
+        return send
+    if wire == "ragged":
+        offs = jnp.arange(nd, dtype=jnp.int32) * h
+        out = jnp.zeros_like(send)
+        me = jax.lax.axis_index(axis)
+        recv_flat = jax.lax.ragged_all_to_all(
+            send, out, offs, halo.send_sizes,
+            jnp.full((nd,), me * h, jnp.int32), halo.recv_sizes,
+            axis_name=axis)
+    else:
         send = send.reshape(nd, h, src_local.shape[1])
         recv = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0)
         recv_flat = recv.reshape(nd * h, src_local.shape[1])
-        local = jnp.take(src_local, halo.local_pos, axis=0)
-        remote = jnp.take(recv_flat, halo.remote_pos, axis=0)
-        return jnp.where(halo.is_local[:, None], local, remote)
+    return recv_flat
+
+
+def _halo_assemble(halo, src_local, recv_flat):
+    """The local half: assemble the batch's [C_pad, D] input rows from the
+    local slab (``local_pos``) or the receive buffer (``remote_pos``)."""
+    local = jnp.take(src_local, halo.local_pos, axis=0)
+    remote = jnp.take(recv_flat, halo.remote_pos, axis=0)
+    return jnp.where(halo.is_local[:, None], local, remote)
+
+
+def _make_exchange(halo, axis, wire: str = "dense"):
+    """[slab, D] -> [C_pad, D] halo exchange for one device's HaloPlan
+    (collect + assemble in one step; the refresh scan instead pipelines
+    the two halves across rounds)."""
+
+    def exchange(src_local):
+        return _halo_assemble(
+            halo, src_local, _halo_collect(halo, axis, src_local, wire))
 
     return exchange
 
@@ -105,6 +150,8 @@ class HaloPlan(NamedTuple):
     is_local: jnp.ndarray  # [C_pad] bool
     local_pos: jnp.ndarray  # [C_pad] int32 into the local slab
     remote_pos: jnp.ndarray  # [C_pad] int32 into recv.reshape(n_dev*H, D)
+    send_sizes: jnp.ndarray  # [n_dev(dst)] int32 true (unpadded) send rows
+    recv_sizes: jnp.ndarray  # [n_dev(src)] int32 true rows received
 
 
 class ShardedVRTrainer:
@@ -137,6 +184,16 @@ class ShardedVRTrainer:
             int(self.mesh.devices.shape[1])
             if self.mesh.devices.ndim == 2 else self.n_dev
         )
+        # refresh-halo wire packing: exact-payload ragged_all_to_all where
+        # it lowers (TPU, single named axis), padded dense all_to_all
+        # elsewhere (XLA:CPU virtual meshes, tuple-axis 2-D meshes)
+        if cfg.halo_wire == "auto":
+            on_tpu = all(d.platform == "tpu" for d in self.mesh.devices.flat)
+            self.halo_wire = (
+                "ragged" if on_tpu and isinstance(self.axis, str) else "dense"
+            )
+        else:
+            self.halo_wire = cfg.halo_wire
         # hybrid ELL is the fast default; "coo" forced when edge dropout
         # needs edge-level values.  GAT: the VR train batches go through the
         # "bi" pack, which plumbs the t2f transpose permutation for
@@ -501,14 +558,19 @@ class ShardedVRTrainer:
                     slot = np.searchsorted(sends[o][d], rows[m])
                     remote_pos[m] = o * h + slot
                 send_idx = np.full((nd, h), trash, np.int32)
+                send_sizes = np.zeros(nd, np.int32)
+                recv_sizes = np.zeros(nd, np.int32)
                 for j in range(nd):
-                    if j == d or sends[d][j] is None:
-                        continue
-                    lst = sends[d][j]
-                    send_idx[j, : len(lst)] = (lst - d * slab).astype(np.int32)
+                    if j != d and sends[d][j] is not None:
+                        lst = sends[d][j]
+                        send_idx[j, : len(lst)] = (lst - d * slab).astype(np.int32)
+                        send_sizes[j] = len(lst)
+                    if j != d and sends[j][d] is not None:
+                        recv_sizes[j] = len(sends[j][d])
                 per_dev_plans.append(HaloPlan(
                     send_idx=send_idx, is_local=is_local,
                     local_pos=local_pos, remote_pos=remote_pos,
+                    send_sizes=send_sizes, recv_sizes=recv_sizes,
                 ))
             stacked = jax.tree.map(lambda *xs: np.stack(xs), *per_dev_plans)
             plans.append(jax.device_put(
@@ -688,7 +750,12 @@ class ShardedVRTrainer:
             batch = jax.tree.map(lambda a: a[0] if a.ndim > 0 else a, batch)
             halo = jax.tree.map(lambda a: a[0], halo)
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
-            exchange = _make_exchange(halo, axis)
+            # train halos keep the dense wire (grads flow through the
+            # exchange; ragged_all_to_all has no transpose rule) — only the
+            # benchmark-only loopback override applies here
+            exchange = _make_exchange(
+                halo, axis,
+                "loopback" if self.halo_wire == "loopback" else "dense")
             x = exchange(x_tab)
             y = jnp.take(y_tab, batch.push_idx, axis=0)
             mask = jnp.take(tm_tab, batch.push_idx, axis=0)
@@ -743,21 +810,47 @@ class ShardedVRTrainer:
         slabs move via the **static halo all_to_all** schedule (HaloPlan) —
         halo·D traffic over ICI instead of the mesh-wide all_gather's N·D.
         Rounds write disjoint push rows and only read tables written by the
-        *previous* layer, so the scan is exactly the per-round loop."""
-        model, axis = self.model, self.axis
+        *previous* layer, so the scan is exactly the per-round loop.
+
+        The halo exchange is software-pipelined across rounds (VERDICT r2
+        item 4 / SURVEY §7 step 9 "overlap local SpMM with boundary
+        exchange"): the exchange's source table (``x_tab`` at layer 0,
+        ``emb[layer]`` above — written only by the *previous* layer pass,
+        never by this one) is hoisted out of the scan, so round r+1's
+        collective depends only on its HaloPlan, not on round r's compute;
+        the body issues collect(r+1) alongside compute(r) with the
+        prefetched receive buffer carried between iterations, letting the
+        TPU latency-hiding scheduler run the all_to_all under the local
+        aggregation (the reference's pull-ahead discipline, pool.py:64-99,
+        rebuilt over ICI)."""
+        model, axis, wire = self.model, self.axis, self.halo_wire
         L, D = model.cfg.num_layers, model.hist_dim
 
         def local_fn(params, state, hist, x_tab, out_tab, batches, halos):
             batches = jax.tree.map(lambda a: a[0], batches)  # [R, ...] local
             halos = jax.tree.map(lambda a: a[0], halos)
+            # exchange source table: constant for the whole layer pass
+            if layer == 0:
+                src_tab = x_tab
+            else:
+                src_tab = hist.emb[layer]
+            # prologue: collect round 0's halo; body r computes round r from
+            # the carried receive buffer while collecting round r+1's
+            halo0 = jax.tree.map(lambda a: a[0], halos)
+            recv0 = _halo_collect(halo0, axis, src_tab, wire)
+            halos_next = jax.tree.map(
+                lambda a: jnp.roll(a, -1, axis=0), halos)
 
             def body(carry, bh):
-                hist, out_tab = carry
-                batch, halo = bh
+                hist, out_tab, recv = carry
+                batch, halo, halo_next = bh
                 emb, emb_ag = hist.emb, hist.emb_ag  # local slabs [L, slab, D]
                 r_pad = batch.adj.num_rows
                 valid = (jnp.arange(r_pad) < batch.batch_size)[:, None]
-                exchange = _make_exchange(halo, axis)
+                recv_next = _halo_collect(halo_next, axis, src_tab, wire)
+
+                def exchange(_src):
+                    return _halo_assemble(halo, _src, recv)
 
                 if layer == 0:
                     x_in = exchange(x_tab)
@@ -785,10 +878,10 @@ class ShardedVRTrainer:
                 else:
                     out_tab = out_tab.at[batch.push_idx].set(
                         jnp.where(valid, out[:r_pad], 0.0))
-                return (HistoryState(emb, emb_ag), out_tab), None
+                return (HistoryState(emb, emb_ag), out_tab, recv_next), None
 
-            (hist, out_tab), _ = jax.lax.scan(
-                body, (hist, out_tab), (batches, halos))
+            (hist, out_tab, _), _ = jax.lax.scan(
+                body, (hist, out_tab, recv0), (batches, halos, halos_next))
             return hist, out_tab
 
         P_ = P

@@ -97,6 +97,12 @@ class TrainerConfig:
     # kills the per-epoch host collate + restage and admits the dense tile
     # tier (loader static_groups; slightly less SGD noise than regrouping)
     static_groups: bool = False
+    # Sharded-refresh halo wire packing (parallel/spatial.py::_halo_collect):
+    # "dense" all_to_all pads every (src,dst) pair to the global-max halo
+    # width (~2.5x payload on the wire); "ragged" moves exactly the payload
+    # via lax.ragged_all_to_all (TPU-only lowering, forward-only).  "auto" =
+    # ragged on TPU meshes with a single named axis, dense elsewhere.
+    halo_wire: str = "auto"
     # Fail-fast watchdog around device round trips: raise DeviceTimeoutError
     # (with stall diagnostics) when a step/refresh blocks longer than this —
     # the opposite of the reference's print-and-continue on transfer errors

@@ -1,12 +1,31 @@
-"""Scaling benchmark harness: Reverb training throughput at 1..N devices.
+"""Scaling measurement harness: strong scaling + a *measured* decomposition
+of where the efficiency goes on the virtual CPU mesh (VERDICT r2 item 3).
 
-Targets the BASELINE.json north-star "≥80% edges/s scaling efficiency at
-1 chip / 1 host / N hosts".  Runs the sharded Reverb trainer over meshes of
-increasing size on whatever devices are available (real chips, or the virtual
-CPU mesh via --force-cpu N) and reports edges/s and efficiency vs the
-1-device run.
+Physical constraint this environment cannot get around: the host has only
+``os.cpu_count()`` (=2 here) cores, and every "device" of the virtual CPU
+mesh shares them — so strong-scaling wall clock is capped at min(nd, cores)
+speedup no matter how good the sharded program is.  The honest measurement
+is therefore a *decomposition* at fixed total work and fixed total cores:
 
-    python scripts/scaling_bench.py --devices 1 2 4 8 --force-cpu 8
+1. ``T_full(nd)``   — sharded GAS epoch/refresh with real collectives.
+2. ``T_loopback(nd)`` — identical program with the halo wire looped back
+   locally (``halo_wire="loopback"``: same staging gathers, same assembly
+   reads, no collective).  ``T_full - T_loopback`` is the measured
+   communication + synchronization term, not a model.
+3. An isolated ``all_to_all`` microbench at the exact HaloPlan buffer
+   shapes — measured wire GB/s on this host, plus the byte count that an
+   ICI projection can be applied to.
+
+Since total work and total cores are constant across nd, ``T_loopback(nd) /
+T_loopback(1)`` measures pure sharding overhead (padding, round imbalance,
+per-device program scheduling), and the comm fraction is measured directly.
+
+    python scripts/scaling_bench.py --force-cpu 8 --out SCALING_r03.json
+
+Reference context: the reference is single-GPU (SURVEY §2.1 gap); the
+north-star ≥80% efficiency bar (BASELINE.json) is assessed from the
+measured comm fraction + measured sharding overhead + measured halo bytes
+at assumed ICI bandwidth, with every term except ICI bandwidth measured.
 """
 
 from __future__ import annotations
@@ -25,14 +44,17 @@ def main():
     ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
     ap.add_argument("--force-cpu", type=int, default=0,
                     help="use a virtual CPU mesh with this many devices")
-    ap.add_argument("--num-nodes", type=int, default=100_000)
+    ap.add_argument("--num-nodes", type=int, default=200_000)
+    ap.add_argument("--avg-degree", type=float, default=14.0)
     ap.add_argument("--num-parts", type=int, default=64)
     ap.add_argument("--hidden", type=int, default=256)
     ap.add_argument("--layers", type=int, default=3)
-    ap.add_argument("--epochs", type=int, default=3)
-    ap.add_argument("--hosts", type=int, default=1,
-                    help="emulate a (hosts x chips) 2-D mesh at each device "
-                         "count divisible by it (hierarchy-aware layout)")
+    ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--mode", choices=["gas", "vr"], default="gas",
+                    help="gas = halo-heavy batch-parallel (the hard case); "
+                         "vr = Reverb (grad psum only)")
+    ap.add_argument("--ici-gbps", type=float, default=45.0)
+    ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     if args.force_cpu:
@@ -44,6 +66,7 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
     import jax
+    import numpy as np
 
     from incagg_gnn_tpu.graph.datasets import make_sbm
     from incagg_gnn_tpu.models import GCN, GCNConfig
@@ -53,49 +76,128 @@ def main():
 
     data, in_c, out_c = make_sbm(
         num_nodes=args.num_nodes, num_classes=16, num_features=64,
-        avg_degree=14.0, seed=0,
+        avg_degree=args.avg_degree, seed=0,
     )
-    # IB edges trained per epoch approximates total edges kept by the
-    # partition; measure per-run below from actual batches
-    results = []
-    base = None
-    for nd in args.devices:
-        if nd > len(jax.devices()):
-            print(f"skip {nd} devices (have {len(jax.devices())})")
-            continue
+
+    def build(nd, wire):
         cfg = GCNConfig(
             num_nodes=data.num_nodes, in_channels=in_c,
             hidden_channels=args.hidden, out_channels=out_c,
             num_layers=args.layers, dropout=0.1, drop_input=False,
         )
         tcfg = TrainerConfig(num_parts=args.num_parts, batch_size=1,
-                             vr_update=True, seed=0, epochs=args.epochs)
-        if args.hosts > 1 and nd % args.hosts == 0 and nd > args.hosts:
-            from incagg_gnn_tpu.parallel.mesh import make_mesh_2d
+                             vr_update=(args.mode == "vr"), seed=0,
+                             epochs=args.epochs, halo_wire=wire)
+        return ShardedVRTrainer(GCN(cfg), data, tcfg, mesh=make_mesh(nd))
 
-            mesh = make_mesh_2d(args.hosts, nd // args.hosts)
-        else:
-            mesh = make_mesh(nd)
-        tr = ShardedVRTrainer(GCN(cfg), data, tcfg, mesh=mesh)
-        tr.refresh()
-        tr.train_epoch()  # warm up / compile
-        # count IB edges across one epoch of batches (deg holds true counts)
-        edges = sum(int(np.asarray(s.adj.deg).sum()) for s in tr._train_stacks)
+    def time_epochs(tr):
+        tr.refresh(host_logits=False)
+        tr.train_epoch()  # compile + warm
         t0 = time.perf_counter()
         for _ in range(args.epochs):
             tr.train_epoch()
-        dt = (time.perf_counter() - t0) / args.epochs
-        eps = edges / dt
-        if base is None:
-            base = eps / nd
-        eff = eps / (base * nd)
-        rec = {"devices": nd, "edges_per_s": round(eps), "epoch_s": round(dt, 3),
-               "efficiency": round(eff, 3)}
-        results.append(rec)
+        train_s = (time.perf_counter() - t0) / args.epochs
+        tr.refresh(host_logits=False)  # warm the refresh fns
+        jax.block_until_ready(tr.out_tab)
+        t0 = time.perf_counter()
+        tr.refresh(host_logits=False)
+        jax.block_until_ready(tr.out_tab)
+        refresh_s = time.perf_counter() - t0
+        edges = int(np.asarray(data.adj_t.col).size)
+        return train_s, refresh_s, edges
+
+    results = {"harness": "scripts/scaling_bench.py",
+               "platform": f"virtual CPU mesh, {os.cpu_count()} physical "
+                           f"cores shared by all devices",
+               "graph": {"num_nodes": args.num_nodes,
+                         "avg_degree": args.avg_degree,
+                         "num_parts": args.num_parts, "mode": args.mode,
+                         "model": f"GCN {args.layers}x{args.hidden}"},
+               "decomposition": []}
+    t1_full = t1_loop = None
+    for nd in args.devices:
+        if nd > len(jax.devices()):
+            print(f"skip {nd} devices (have {len(jax.devices())})")
+            continue
+        tr = build(nd, "dense")
+        train_f, refresh_f, edges = time_epochs(tr)
+        del tr
+        tr = build(nd, "loopback")
+        train_l, refresh_l, _ = time_epochs(tr)
+        del tr
+        full, loop = train_f + refresh_f, train_l + refresh_l
+        if t1_full is None:
+            t1_full, t1_loop = full, loop
+        rec = {
+            "devices": nd,
+            "train_s_full": round(train_f, 3),
+            "train_s_loopback": round(train_l, 3),
+            "refresh_s_full": round(refresh_f, 3),
+            "refresh_s_loopback": round(refresh_l, 3),
+            "edges_per_s_full": round(edges / max(train_f, 1e-9)),
+            "comm_fraction_measured": round(max(0.0, full - loop) / full, 4),
+            "sharding_overhead_vs_1dev": round(loop / t1_loop - 1.0, 4),
+            "raw_strong_efficiency": round(t1_full / (full * nd), 4),
+            "host_core_ceiling": min(nd, os.cpu_count() or 1),
+        }
+        results["decomposition"].append(rec)
         print(json.dumps(rec), flush=True)
+
+    # ---- isolated all_to_all microbench at the real HaloPlan shapes ------
+    nd = max(d for d in args.devices if d <= len(jax.devices()))
+    tr = build(nd, "dense")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax import shard_map
+    import jax.numpy as jnp
+
+    plan = tr._halo_plans[0]
+    h = int(np.asarray(plan.send_idx).shape[2])
+    d_feat = args.hidden
+    payload_rows = sum(
+        int(np.asarray(p.send_sizes).sum()) for p in tr._halo_plans)
+    wire_rows_dense = nd * (nd - 1) * h * len(tr._halo_plans)
+
+    def a2a(x):
+        return jax.lax.all_to_all(
+            x.reshape(nd, h, d_feat), tr.axis, split_axis=0, concat_axis=0)
+
+    sm = jax.jit(shard_map(
+        lambda x: a2a(jax.tree.map(lambda a: a[0], x)[: nd * h]),
+        mesh=tr.mesh, in_specs=P(tr.axis), out_specs=P(tr.axis)))
+    buf = jax.device_put(
+        jnp.ones((nd, nd * h, d_feat), jnp.float32),
+        NamedSharding(tr.mesh, P(tr.axis)))
+    jax.block_until_ready(sm(buf))
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = sm(buf)
+    jax.block_until_ready(out)
+    a2a_s = (time.perf_counter() - t0) / reps
+    bytes_dense = nd * nd * h * d_feat * 4
+    results["all_to_all_microbench"] = {
+        "devices": nd, "halo_width_h": h, "buffer_bytes_total": bytes_dense,
+        "ms": round(a2a_s * 1e3, 3),
+        "host_gbps": round(bytes_dense / a2a_s / 1e9, 2),
+        "note": "virtual-mesh all_to_all is a host memcpy; the byte count "
+                "is the hardware-independent quantity",
+    }
+    results["halo_bytes"] = {
+        "payload_rows_per_sweep": payload_rows,
+        "wire_rows_dense": wire_rows_dense,
+        "wire_rows_ragged": payload_rows,
+        "payload_mb_per_sweep_bf16": round(payload_rows * d_feat * 2 / 1e6, 2),
+        "ici_ms_per_sweep_at_assumed_bw": round(
+            payload_rows * d_feat * 2 / nd / (args.ici_gbps * 1e9) * 1e3, 3),
+    }
+    print(json.dumps({k: results[k] for k in
+                      ("all_to_all_microbench", "halo_bytes")}, indent=1))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+        print("wrote", args.out)
     return results
 
 
 if __name__ == "__main__":
-    import numpy as np  # noqa: F401  (used above)
     main()

@@ -336,3 +336,72 @@ class TestShardedBiBlockTraining:
                         jax.tree_util.tree_leaves(results["block"])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestHaloWire:
+    """The ragged halo wire (lax.ragged_all_to_all, TPU-only lowering) must
+    be *semantically* identical to the dense all_to_all path: same staging
+    layout, same receive layout, only the padded tail of each (src,dst)
+    chunk stays unsent.  XLA:CPU has no ragged-all-to-all thunk, so this
+    emulates the documented ragged semantics in numpy over the trainer's
+    real HaloPlans and checks (a) sizes metadata is mutually consistent,
+    (b) no remote_pos ever reads an unsent slot, (c) assembly over the
+    emulated ragged receive buffer equals the dense exchange."""
+
+    def test_ragged_emulation_matches_dense(self, sbm_small):
+        data, in_c, out_c = sbm_small
+        cfg = GCNConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                        hidden_channels=16, out_channels=out_c, num_layers=2,
+                        dropout=0.0, drop_input=False)
+        tcfg = TrainerConfig(num_parts=16, batch_size=1, vr_update=False,
+                             seed=0, epochs=1)
+        tr = ShardedVRTrainer(GCN(cfg), data, tcfg, mesh=make_mesh(8))
+        nd, slab = tr.n_dev, tr.layout.slab
+        rng = np.random.default_rng(0)
+        # one fake per-device source slab (rows x feature)
+        src = rng.normal(size=(nd, slab + 1, 4)).astype(np.float32)
+        for plan in tr._halo_plans:
+            send_idx = np.asarray(plan.send_idx)      # [nd, nd, H]
+            send_sizes = np.asarray(plan.send_sizes)  # [nd, nd]
+            recv_sizes = np.asarray(plan.recv_sizes)  # [nd, nd]
+            h = send_idx.shape[2]
+            # (a) send_sizes on src == recv_sizes on dst (the lax contract)
+            for s in range(nd):
+                for d in range(nd):
+                    assert send_sizes[s, d] == recv_sizes[d, s]
+            for d in range(nd):
+                # dense receive buffer: full H rows from every src
+                dense = np.concatenate(
+                    [src[o][send_idx[o, d]] for o in range(nd)])  # [nd*H, 4]
+                # ragged: only the true sizes are written, rest stays zero
+                ragged = np.zeros_like(dense)
+                for o in range(nd):
+                    n = recv_sizes[d, o]
+                    ragged[o * h:o * h + n] = src[o][send_idx[o, d, :n]]
+                is_local = np.asarray(plan.is_local[d])
+                remote_pos = np.asarray(plan.remote_pos[d])
+                # (b) every remote read hits a slot that was actually sent
+                used = remote_pos[~is_local]
+                assert np.all(used % h < recv_sizes[d, used // h])
+                # (c) identical assembly
+                local = src[d][np.asarray(plan.local_pos[d])]
+                out_dense = np.where(is_local[:, None], local,
+                                     dense[remote_pos])
+                out_ragged = np.where(is_local[:, None], local,
+                                      ragged[remote_pos])
+                assert np.array_equal(out_dense, out_ragged)
+
+    def test_forced_dense_wire_refresh_unchanged(self, sbm_small):
+        """halo_wire='dense' (the CPU-mesh resolution of 'auto') must leave
+        the pipelined refresh numerically identical to the single-chip
+        sweep — covered by test_refresh_matches_single_chip; here we pin
+        that the knob actually resolves to dense on this backend."""
+        data, in_c, out_c = sbm_small
+        cfg = GCNConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                        hidden_channels=16, out_channels=out_c, num_layers=2,
+                        dropout=0.0, drop_input=False)
+        tcfg = TrainerConfig(num_parts=16, batch_size=1, vr_update=False,
+                             seed=0, epochs=1)
+        tr = ShardedVRTrainer(GCN(cfg), data, tcfg, mesh=make_mesh(8))
+        assert tr.halo_wire == "dense"
