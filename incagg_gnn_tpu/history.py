@@ -30,33 +30,47 @@ host DRAM with the same slotted staging discipline as the reference's pool.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 
 
-class HistoryState(NamedTuple):
-    """Per-layer ``M_in`` (``emb``) and ``M_ag`` (``emb_ag``) stacks.
+def tup_set(t: tuple, i: int, v) -> tuple:
+    """Replace element ``i`` of a tuple (the per-layer analogue of
+    ``stack.at[i].set(v)``)."""
+    return t[:i] + (v,) + t[i + 1:]
 
-    Shapes: ``[num_layers, num_nodes + 1, dim]``; the ``+1`` row is the
-    padding trash row and must stay zero.
+
+class HistoryState(NamedTuple):
+    """Per-layer ``M_in`` (``emb``) and ``M_ag`` (``emb_ag``) tables.
+
+    Each field is a TUPLE of ``num_layers`` arrays ``[num_nodes + 1, dim]``
+    (the ``+1`` row is the padding trash row and must stay zero).  Separate
+    per-layer tables — not one ``[L, N+1, D]`` stack — are a measured TPU
+    requirement: XLA lowers a row scatter into a fixed layer of a 3-D
+    tiled stack as flatten-reshape copies of the ENTIRE stack (2x 1.28 GB
+    per push at products scale, 25% of the refresh sweep), while the same
+    scatter into a 2-D table is 3.8x faster with no copies
+    (docs/RESULTS.md r3 "refresh sweep", scripts/probes/_refresh_micro.py).
+    ``emb[l]`` indexing is unchanged at use sites; writes go through
+    :func:`tup_set`.
     """
 
-    emb: jnp.ndarray
-    emb_ag: jnp.ndarray
+    emb: Tuple[jnp.ndarray, ...]
+    emb_ag: Tuple[jnp.ndarray, ...]
 
     @property
     def num_layers(self) -> int:
-        return self.emb.shape[0]
+        return len(self.emb)
 
     @property
     def num_nodes(self) -> int:
-        return self.emb.shape[1] - 1
+        return self.emb[0].shape[0] - 1
 
     @property
     def dim(self) -> int:
-        return self.emb.shape[2]
+        return self.emb[0].shape[1]
 
 
 #: cache dtypes by config name.  bf16 halves and fp8 quarters the HBM of the
@@ -84,8 +98,11 @@ def init_history(
     num_layers: int, num_nodes: int, dim: int, dtype=jnp.float32
 ) -> HistoryState:
     """Zero-initialized caches (reference: history.py:25-26)."""
-    shape = (num_layers, num_nodes + 1, dim)
-    return HistoryState(emb=jnp.zeros(shape, dtype), emb_ag=jnp.zeros(shape, dtype))
+    shape = (num_nodes + 1, dim)
+    return HistoryState(
+        emb=tuple(jnp.zeros(shape, dtype) for _ in range(num_layers)),
+        emb_ag=tuple(jnp.zeros(shape, dtype) for _ in range(num_layers)),
+    )
 
 
 def pull(table: jnp.ndarray, n_id: jnp.ndarray) -> jnp.ndarray:
@@ -105,6 +122,6 @@ def push(table: jnp.ndarray, idx: jnp.ndarray, values: jnp.ndarray) -> jnp.ndarr
 def reset_trash_row(state: HistoryState) -> HistoryState:
     """Re-zero the trash row (padding scatters write garbage there)."""
     return HistoryState(
-        emb=state.emb.at[:, -1, :].set(0.0),
-        emb_ag=state.emb_ag.at[:, -1, :].set(0.0),
+        emb=tuple(t.at[-1, :].set(0.0) for t in state.emb),
+        emb_ag=tuple(t.at[-1, :].set(0.0) for t in state.emb_ag),
     )

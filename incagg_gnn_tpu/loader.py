@@ -135,6 +135,7 @@ class SubgraphLoader:
         block_dtype=None,
         block_d_hint: int = 256,
         block_force: bool = False,
+        global_cols: bool = False,
     ):
         """``adj_format``: 'coo' (sorted edge list + segment ops; required for
         edge-level computations and edge dropout), 'hybrid' (scatter-free
@@ -159,6 +160,17 @@ class SubgraphLoader:
         assert adj_format in ("coo", "hybrid", "hybrid-fwd", "block-fwd",
                               "block")
         self.adj_format = adj_format
+        # global-column eval collate: hybrid ELL/COO column ids are mapped
+        # into the GLOBAL node-table row space (pad slots -> trash row N or
+        # a zero-weight row), so the refresh sweep gathers neighbor
+        # features straight from the [N+1, D] cache tables instead of
+        # first materializing the ~whole-graph [C_pad, D] x_in per
+        # (batch, layer) — the dominant cost of the products-scale sweep
+        # (docs/RESULTS.md r3 trace: C_pad ~= 0.8N at 30 parts / deg 50).
+        # Only engaged when the built adjacency is plain hybrid (the dense
+        # block tier needs the compact batch-local column space).
+        self.global_cols = bool(global_cols)
+        self.uses_global_cols = False  # set by the first hybrid collate
         self.static_groups = static_groups and mode != "ns"  # NS resamples
         self.block_dtype = np.float32 if block_dtype is None else block_dtype
         self.block_d_hint = block_d_hint
@@ -278,6 +290,18 @@ class SubgraphLoader:
         n_id_pad[:tot] = n_id
         push_idx = np.full(b.rows, self.trash_node, dtype=np.int32)
         push_idx[:bs] = n_id[:bs]
+
+        if self.global_cols:
+            from incagg_gnn_tpu.ops.ell import HybridAdj
+
+            if isinstance(adj, HybridAdj):
+                # map batch-local columns into global table rows; padded
+                # slots land on the trash row or carry zero weight either way
+                adj = adj._replace(
+                    ell_cols=n_id_pad[np.asarray(adj.ell_cols)],
+                    ovf_cols=n_id_pad[np.asarray(adj.ovf_cols)],
+                )
+                self.uses_global_cols = True
 
         device = SubgraphBatch(
             adj=jax.tree.map(np.asarray, adj),

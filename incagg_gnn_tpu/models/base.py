@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from incagg_gnn_tpu.history import HistoryState, init_history
+from incagg_gnn_tpu.history import HistoryState, init_history, tup_set
 from incagg_gnn_tpu.loader import SubgraphBatch
 from incagg_gnn_tpu.models.nn import pad_cols, pad_rows
 from incagg_gnn_tpu.ops.agg import spmm, spmm_reduce
@@ -194,13 +194,16 @@ class ScalableGNN:
             # back chunk-contiguously) and splice the pre-staged OB pulls
             if self._stream_pushed_slots is not None:
                 self._stream_pushed_slots.add(slot)
-            hist_emb = hist_emb.at[slot].set(pushed.astype(hist_emb.dtype))
+            hist_emb = tup_set(
+                hist_emb, slot, pushed.astype(hist_emb[slot].dtype))
             pulled = self._stream_pulled[slot][:, :d].astype(h.dtype)
             ib = (jnp.arange(c_pad) < batch.batch_size)[:, None]
             x = jnp.where(ib, pad_rows(h, c_pad), pulled)
             return x, hist_emb
-        hist_emb = hist_emb.at[slot, batch.push_idx].set(
-            pushed.astype(hist_emb.dtype)
+        hist_emb = tup_set(
+            hist_emb, slot,
+            hist_emb[slot].at[batch.push_idx].set(
+                pushed.astype(hist_emb[slot].dtype)),
         )
         if self._shard_halo is not None:
             # multi-chip: OB rows live on other slabs; exchange the halo
@@ -291,14 +294,15 @@ class ScalableGNN:
                 x_in = jnp.take(x_table, batch.n_id, axis=0).astype(jnp.float32)
                 if vr or self.needs_x0:
                     m0 = self.layer0_cache_input(params, x_in)
-                    emb = emb.at[0, batch.push_idx].set(
-                        jnp.where(valid, pad_cols(m0[:r_pad], D), 0.0).astype(emb.dtype)
-                    )
+                    emb = tup_set(emb, 0, emb[0].at[batch.push_idx].set(
+                        jnp.where(valid, pad_cols(m0[:r_pad], D), 0.0
+                                  ).astype(emb[0].dtype)))
                     if vr:
                         ag0 = self.vr_cache_value(params, 0, adj, m0)
-                        emb_ag = emb_ag.at[0, batch.push_idx].set(
-                            jnp.where(valid, pad_cols(ag0, D), 0.0).astype(emb_ag.dtype)
-                        )
+                        emb_ag = tup_set(
+                            emb_ag, 0, emb_ag[0].at[batch.push_idx].set(
+                                jnp.where(valid, pad_cols(ag0, D), 0.0
+                                          ).astype(emb_ag[0].dtype)))
                         pre_agg = ag0 if self.vr_cache_is_agg else None
             else:
                 dim = self.layer_input_dim(layer)
@@ -307,9 +311,10 @@ class ScalableGNN:
                 )
                 if vr:
                     ag = self.vr_cache_value(params, layer, adj, x_in)
-                    emb_ag = emb_ag.at[layer, batch.push_idx].set(
-                        jnp.where(valid, pad_cols(ag, D), 0.0).astype(emb_ag.dtype)
-                    )
+                    emb_ag = tup_set(
+                        emb_ag, layer, emb_ag[layer].at[batch.push_idx].set(
+                            jnp.where(valid, pad_cols(ag, D), 0.0
+                                      ).astype(emb_ag[layer].dtype)))
                     pre_agg = ag if self.vr_cache_is_agg else None
             x0_ib = None
             if self.needs_x0 and layer > 0:
@@ -323,9 +328,10 @@ class ScalableGNN:
                 pre_agg=pre_agg if use_aggregation else None,
             )
             if layer < L - 1:
-                emb = emb.at[layer + 1, batch.push_idx].set(
-                    jnp.where(valid, pad_cols(out[:r_pad], D), 0.0).astype(emb.dtype)
-                )
+                emb = tup_set(
+                    emb, layer + 1, emb[layer + 1].at[batch.push_idx].set(
+                        jnp.where(valid, pad_cols(out[:r_pad], D), 0.0
+                                  ).astype(emb[layer + 1].dtype)))
             else:
                 out_table = out_table.at[batch.push_idx].set(
                     jnp.where(valid, out[:r_pad], 0.0)
@@ -333,6 +339,168 @@ class ScalableGNN:
             return HistoryState(emb, emb_ag), out_table
 
         return fn
+
+    def _m0_table(self, params, x_table):
+        """Once-per-sweep layer-0 cache table: ``layer0_cache_input`` applied
+        to the WHOLE feature table (a single [N, F] x [F, D] MXU pass),
+        padded to the cache width with a zero trash row.  Replaces the
+        per-batch recomputation of m0 over every batch's ~whole-graph
+        neighborhood in the global-column sweep."""
+        D = self.hist_dim
+        m0 = self.layer0_cache_input(params, x_table[:-1])
+        m0 = pad_cols(m0.astype(jnp.float32), D)
+        return jnp.concatenate([m0, jnp.zeros((1, D), m0.dtype)])
+
+    def _refresh_batch_step_global(self, layer: int, vr: bool,
+                                   push_m0: bool = False):
+        """Per-batch refresh body over GLOBAL-column hybrid batches
+        (loader ``global_cols``): aggregation slots gather straight from the
+        [N+1, D] cache tables in their storage dtype — no per-batch
+        [C_pad, D] x_in materialization, no f32 upcast of the gathered
+        neighborhood (the two dominant costs of the products-scale sweep,
+        docs/RESULTS.md r3 trace).  ``emb[0]`` is written wholesale by the
+        caller (the m0 table IS M_in[0] for every node), so layer 0 here
+        only writes M_ag[0]/out pushes."""
+        L = self.cfg.num_layers
+        D = self.hist_dim
+
+        def fn(params, state, hist, x_table, out_table,
+               batch: SubgraphBatch, m0_table):
+            adj = batch.adj
+            r_pad = adj.num_rows
+            valid = (jnp.arange(r_pad) < batch.batch_size)[:, None]
+            emb, emb_ag = hist.emb, hist.emb_ag
+            src = m0_table if layer == 0 else emb[layer]
+            # uniform-dtype aggregation over the table (cols beyond the
+            # layer's true width are zero in the cache, so aggregating the
+            # full width and slicing after is exact)
+            adjc = adj
+            if adj.ell_vals.dtype != src.dtype:
+                adjc = adj._replace(
+                    ell_vals=adj.ell_vals.astype(src.dtype),
+                    ovf_vals=adj.ovf_vals.astype(src.dtype))
+            ag = self.vr_aggregate(adjc, src).astype(jnp.float32)  # [R_pad, D]
+            dim = self.layer_input_dim(layer)
+            if push_m0 and layer == 0 and (vr or self.needs_x0):
+                # partial-refresh (subset) mode: keep the (M_in, M_ag) pair
+                # consistent per cluster — per-batch emb[0] rows instead of
+                # the wholesale table write
+                m0_rows = jnp.take(m0_table, batch.push_idx, axis=0)
+                emb = tup_set(emb, 0, emb[0].at[batch.push_idx].set(
+                    jnp.where(valid, m0_rows, 0.0).astype(emb[0].dtype)))
+            if vr:
+                emb_ag = tup_set(
+                    emb_ag, layer, emb_ag[layer].at[batch.push_idx].set(
+                        jnp.where(valid, ag, 0.0
+                                  ).astype(emb_ag[layer].dtype)))
+            # self rows (raw x at layer 0 — forward_layer applies the
+            # layer-0 transform itself; cached inputs above)
+            if layer == 0:
+                x_self = jnp.take(x_table, batch.push_idx, axis=0).astype(
+                    jnp.float32)
+            else:
+                x_self = jnp.take(emb[layer], batch.push_idx, axis=0)[
+                    :, :dim].astype(jnp.float32)
+            x0_ib = None
+            if self.needs_x0 and layer > 0:
+                x0_ib = jnp.take(emb[0], batch.push_idx, axis=0)[
+                    :, : self.x0_dim].astype(jnp.float32)
+            out = self.forward_layer(params, state, layer, x_self, x0_ib,
+                                     adj, True, pre_agg=ag[:, :dim])
+            if layer < L - 1:
+                emb = tup_set(
+                    emb, layer + 1, emb[layer + 1].at[batch.push_idx].set(
+                        jnp.where(valid, pad_cols(out[:r_pad], D), 0.0
+                                  ).astype(emb[layer + 1].dtype)))
+            else:
+                out_table = out_table.at[batch.push_idx].set(
+                    jnp.where(valid, out[:r_pad], 0.0))
+            return HistoryState(emb, emb_ag), out_table
+
+        return fn
+
+    def _refresh_all_scan_global_fn(self, vr: bool, nchunks: int,
+                                    push_m0: bool = False):
+        """The ENTIRE global-column refresh sweep as one jitted program:
+        m0 table computed once, ``emb[0]`` set wholesale (or pushed
+        per-batch under partial refresh), then an unrolled layer loop
+        scanning every resident batch chunk."""
+        key = (vr, nchunks, push_m0, "all-global")
+        if key in self._refresh_fns:
+            return self._refresh_fns[key]
+        L = self.cfg.num_layers
+        steps = [self._refresh_batch_step_global(layer, vr, push_m0)
+                 for layer in range(L)]
+
+        def fn(params, state, hist, x_table, out_table, chunks):
+            m0 = self._m0_table(params, x_table)
+            if not push_m0 and (vr or self.needs_x0):
+                hist = hist._replace(emb=tup_set(
+                    hist.emb, 0, m0.astype(hist.emb[0].dtype)))
+            for layer in range(L):
+                def body(carry, batch, _step=steps[layer]):
+                    h, o = _step(params, state, carry[0], x_table, carry[1],
+                                 batch, m0)
+                    return (h, o), None
+
+                for stack in chunks:
+                    (hist, out_table), _ = jax.lax.scan(
+                        body, (hist, out_table), stack)
+            return hist, out_table
+
+        jfn = jax.jit(fn, donate_argnums=(2, 4))
+        self._refresh_fns[key] = jfn
+        return jfn
+
+    def _m0_set_fn(self, vr: bool, wholesale: bool):
+        """Jitted (m0 table, optionally emb[0]-updated hist) builder for the
+        non-resident global-column refresh paths."""
+        key = (vr, wholesale, "m0set")
+        if key in self._refresh_fns:
+            return self._refresh_fns[key]
+
+        def fn(params, x_table, hist):
+            m0 = self._m0_table(params, x_table)
+            if wholesale and (vr or self.needs_x0):
+                hist = hist._replace(emb=tup_set(
+                    hist.emb, 0, m0.astype(hist.emb[0].dtype)))
+            return m0, hist
+
+        jfn = jax.jit(fn, donate_argnums=(2,))
+        self._refresh_fns[key] = jfn
+        return jfn
+
+    def _refresh_layer_scan_global_fn(self, layer: int, vr: bool,
+                                      push_m0: bool):
+        """Whole-layer global-column refresh scanning the stacked batches."""
+        key = (layer, vr, push_m0, "scan-global")
+        if key in self._refresh_fns:
+            return self._refresh_fns[key]
+        step = self._refresh_batch_step_global(layer, vr, push_m0)
+
+        def fn(params, state, hist, x_table, out_table, batch_stack, m0):
+            def body(carry, batch):
+                h, o = step(params, state, carry[0], x_table, carry[1],
+                            batch, m0)
+                return (h, o), None
+
+            (hist, out_table), _ = jax.lax.scan(
+                body, (hist, out_table), batch_stack)
+            return hist, out_table
+
+        jfn = jax.jit(fn, donate_argnums=(2, 4))
+        self._refresh_fns[key] = jfn
+        return jfn
+
+    def _refresh_layer_fn_global(self, layer: int, vr: bool, push_m0: bool):
+        """Jitted single-batch global-column refresh pass."""
+        key = (layer, vr, push_m0, "global")
+        if key in self._refresh_fns:
+            return self._refresh_fns[key]
+        jfn = jax.jit(self._refresh_batch_step_global(layer, vr, push_m0),
+                      donate_argnums=(2, 4))
+        self._refresh_fns[key] = jfn
+        return jfn
 
     def _refresh_layer_fn(self, layer: int, vr: bool, use_aggregation: bool):
         """Jitted single-batch refresh pass (used by subclass overrides and
@@ -478,12 +646,25 @@ class ScalableGNN:
             and (on_device or total_bytes <= budget or len(batches) <= 64)
             and type(self)._refresh_layer_fn == ScalableGNN._refresh_layer_fn
         )
+        # global-column batches (loader global_cols) MUST go through the
+        # global steps — their adjacency columns index the node table, not
+        # the batch-local x_in space.  The loader only engages the format
+        # for the sum/mean family with plain-hybrid eval adjacencies.
+        global_mode = bool(getattr(loader, "uses_global_cols", False))
+        if global_mode:
+            assert use_aggregation, (
+                "global-column eval batches require aggregation; build the "
+                "eval loader with global_cols=False for no-agg ablations")
+        # subset (partial refresh) keeps per-cluster (M_in, M_ag) pairs
+        # consistent by pushing emb[0] rows per batch instead of wholesale
+        push_m0 = subset is not None
         # introspection for probes/tests (scripts/probes, test_trainer_features)
         self._last_refresh_plan = {
             "use_scan": use_scan, "on_device": on_device,
             "homogeneous": homogeneous, "n_batches": len(batches),
             "per_batch_mb": round(per_batch_bytes / 1e6, 2),
             "budget_mb": round(budget / 1e6, 1),
+            "global_cols": global_mode,
         }
         if use_scan:
             # chunk the scan so the staged batch stack stays within the HBM
@@ -509,7 +690,14 @@ class ScalableGNN:
             cached = [make_chunk(i) for i in chunk_starts] if resident else None
             from incagg_gnn_tpu.utils.prefetch import prefetch
 
-            if resident:
+            if resident and global_mode:
+                _heartbeat()
+                jfn = self._refresh_all_scan_global_fn(vr, len(cached),
+                                                       push_m0)
+                hist, out_table = jfn(
+                    params, state, hist, x_table, out_table, cached
+                )
+            elif resident:
                 # whole sweep in ONE dispatch (layer loop unrolled inside)
                 _heartbeat()
                 jfn = self._refresh_all_scan_fn(vr, use_aggregation,
@@ -517,6 +705,20 @@ class ScalableGNN:
                 hist, out_table = jfn(
                     params, state, hist, x_table, out_table, cached
                 )
+            elif global_mode:
+                m0, hist = self._m0_set_fn(vr, not push_m0)(
+                    params, x_table, hist)
+                for layer in range(self.cfg.num_layers):
+                    _heartbeat()
+                    jfn = self._refresh_layer_scan_global_fn(
+                        layer, vr, push_m0)
+                    stacks = prefetch(
+                        (make_chunk(i) for i in chunk_starts), depth=1
+                    )
+                    for stack in stacks:
+                        hist, out_table = jfn(
+                            params, state, hist, x_table, out_table, stack,
+                            m0)
             else:
                 for layer in range(self.cfg.num_layers):
                     _heartbeat()
@@ -531,6 +733,15 @@ class ScalableGNN:
                         hist, out_table = jfn(
                             params, state, hist, x_table, out_table, stack
                         )
+        elif global_mode:
+            m0, hist = self._m0_set_fn(vr, not push_m0)(params, x_table, hist)
+            for layer in range(self.cfg.num_layers):
+                jfn = self._refresh_layer_fn_global(layer, vr, push_m0)
+                for hb in batches:
+                    _heartbeat()
+                    hist, out_table = jfn(
+                        params, state, hist, x_table, out_table, hb.device, m0
+                    )
         else:
             for layer in range(self.cfg.num_layers):
                 jfn = self._refresh_layer_fn(layer, vr, use_aggregation)

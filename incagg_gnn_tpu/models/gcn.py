@@ -15,7 +15,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from incagg_gnn_tpu.history import HistoryState
+from incagg_gnn_tpu.history import HistoryState, tup_set
 from incagg_gnn_tpu.loader import SubgraphBatch
 from incagg_gnn_tpu.models.base import BaseConfig, ScalableGNN
 from incagg_gnn_tpu.models.nn import (
@@ -177,11 +177,13 @@ class GCN(ScalableGNN):
             for l in range(c.num_layers - 1):
                 h = linear(params["convs"][l], x)
                 h, new_bns[l] = self._post_conv(params, state, l, h, x, valid, training)
-                hist_emb = hist_emb.at[l + 1, batch.push_idx].set(
-                    jax.lax.stop_gradient(
-                        jnp.pad(h, ((0, 0), (0, self.hist_dim - h.shape[1])))
-                    ).astype(hist_emb.dtype)
-                )
+                hist_emb = tup_set(
+                    hist_emb, l + 1,
+                    hist_emb[l + 1].at[batch.push_idx].set(
+                        jax.lax.stop_gradient(
+                            jnp.pad(h, ((0, 0),
+                                        (0, self.hist_dim - h.shape[1])))
+                        ).astype(hist_emb[l + 1].dtype)))
                 x = dropout(keys[next(k)], h, c.dropout, training)
             h = linear(params["convs"][-1], x)
 

@@ -17,7 +17,7 @@ from typing import List
 import jax
 import jax.numpy as jnp
 
-from incagg_gnn_tpu.history import HistoryState
+from incagg_gnn_tpu.history import HistoryState, tup_set
 from incagg_gnn_tpu.models.base import ScalableGNN
 from incagg_gnn_tpu.models.nn import batchnorm, dropout, linear, linear_init
 from incagg_gnn_tpu.models.pna import PNA, PNAConfig, pna_conv
@@ -172,9 +172,9 @@ class PNA_JK(PNA):
             if vr:
                 ag = self.vr_aggregate(batch.adj, x_in)
                 from incagg_gnn_tpu.models.nn import pad_cols
-                emb_ag = emb_ag.at[layer, batch.push_idx].set(
-                    pad_cols(ag, D).astype(emb_ag.dtype)
-                )
+                emb_ag = tup_set(
+                    emb_ag, layer, emb_ag[layer].at[batch.push_idx].set(
+                        pad_cols(ag, D).astype(emb_ag[layer].dtype)))
             out_l = self.forward_layer(params, state, layer, x_in, None, batch.adj,
                                        use_aggregation)
             r_pad = batch.adj.num_rows

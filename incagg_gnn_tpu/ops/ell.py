@@ -45,9 +45,12 @@ class HybridAdj(NamedTuple):
         return self.ell_cols.shape[0]
 
     def binarized(self) -> "HybridAdj":
+        # preserves the values dtype: the global-column refresh pre-casts
+        # values to the cache-table dtype so bf16 aggregations stay uniform
+        # (mixed bf16 x / f32 vals is the measured 0.64x path, RESULTS.md)
         return self._replace(
-            ell_vals=(self.ell_vals != 0).astype(jnp.float32),
-            ovf_vals=(self.ovf_vals != 0).astype(jnp.float32),
+            ell_vals=(self.ell_vals != 0).astype(self.ell_vals.dtype),
+            ovf_vals=(self.ovf_vals != 0).astype(self.ovf_vals.dtype),
         )
 
     def with_scaled_values(self, keep_ell, keep_ovf):

@@ -40,7 +40,7 @@ from jax import shard_map
 from incagg_gnn_tpu.graph.csr import GraphData, gcn_norm, permute
 from incagg_gnn_tpu.graph.partition import partition_graph
 from incagg_gnn_tpu.graph.relabel import relabel_one_hop, relabel_one_hop_within_batch
-from incagg_gnn_tpu.history import HistoryState
+from incagg_gnn_tpu.history import HistoryState, tup_set
 from incagg_gnn_tpu.loader import SubgraphBatch
 from incagg_gnn_tpu.models.base import ScalableGNN
 from incagg_gnn_tpu.models.nn import pad_cols
@@ -273,11 +273,13 @@ class ShardedVRTrainer:
 
         hist_dtype = resolve_dtype(cfg.hist_dtype)
         L, D = model.cfg.num_layers, model.hist_dim
-        hist_sh = NamedSharding(self.mesh, P(None, self.axis, None))
+        hist_sh = NamedSharding(self.mesh, P(self.axis, None))
         self._hist_sh = hist_sh
         self.hist = HistoryState(
-            emb=jax.device_put(jnp.zeros((L, lay.num_rows, D), hist_dtype), hist_sh),
-            emb_ag=jax.device_put(jnp.zeros((L, lay.num_rows, D), hist_dtype), hist_sh),
+            emb=tuple(jax.device_put(jnp.zeros((lay.num_rows, D), hist_dtype),
+                                     hist_sh) for _ in range(L)),
+            emb_ag=tuple(jax.device_put(jnp.zeros((lay.num_rows, D), hist_dtype),
+                                        hist_sh) for _ in range(L)),
         )
         self.out_tab = jax.device_put(
             jnp.zeros((lay.num_rows, model.cfg.out_channels), jnp.float32), node_sh2
@@ -687,7 +689,9 @@ class ShardedVRTrainer:
         rep = P_()
         node = P_(axis)
         node2 = P_(axis, None)
-        hist_spec = HistoryState(P_(None, axis, None), P_(None, axis, None))
+        L_ = self.model.cfg.num_layers
+        hist_spec = HistoryState(tuple(P_(axis, None) for _ in range(L_)),
+                                 tuple(P_(axis, None) for _ in range(L_)))
         batch_spec = jax.tree.map(lambda _: P_(axis), self._train_stacks[0])
         y_spec = node if self.y_tab.ndim == 1 else node2
 
@@ -727,7 +731,9 @@ class ShardedVRTrainer:
         rep = P_()
         node = P_(axis)
         node2 = P_(axis, None)
-        hist_spec = HistoryState(P_(None, axis, None), P_(None, axis, None))
+        L_ = self.model.cfg.num_layers
+        hist_spec = HistoryState(tuple(P_(axis, None) for _ in range(L_)),
+                                 tuple(P_(axis, None) for _ in range(L_)))
         # stacked rounds: leaves [n_dev, R, ...] sharded on the device dim
         batch_spec = jax.tree.map(lambda _: P_(axis), self._train_stacks[0])
         y_spec = node if self.y_tab.ndim == 1 else node2
@@ -791,7 +797,9 @@ class ShardedVRTrainer:
         rep = P_()
         node = P_(axis)
         node2 = P_(axis, None)
-        hist_spec = HistoryState(P_(None, axis, None), P_(None, axis, None))
+        L_ = self.model.cfg.num_layers
+        hist_spec = HistoryState(tuple(P_(axis, None) for _ in range(L_)),
+                                 tuple(P_(axis, None) for _ in range(L_)))
         batch_spec = jax.tree.map(lambda _: P_(axis), self._train_stacks[0])
         halo_spec = jax.tree.map(lambda _: P_(axis), self._train_halos[0])
         y_spec = node if self.y_tab.ndim == 1 else node2
@@ -855,17 +863,21 @@ class ShardedVRTrainer:
                 if layer == 0:
                     x_in = exchange(x_tab)
                     m0 = model.layer0_cache_input(params, x_in)
-                    emb = emb.at[0, batch.push_idx].set(
-                        jnp.where(valid, pad_cols(m0[:r_pad], D), 0.0).astype(emb.dtype))
+                    emb = tup_set(emb, 0, emb[0].at[batch.push_idx].set(
+                        jnp.where(valid, pad_cols(m0[:r_pad], D), 0.0
+                                  ).astype(emb[0].dtype)))
                     ag0 = model.vr_cache_value(params, 0, batch.adj, m0)
-                    emb_ag = emb_ag.at[0, batch.push_idx].set(
-                        jnp.where(valid, pad_cols(ag0, D), 0.0).astype(emb_ag.dtype))
+                    emb_ag = tup_set(emb_ag, 0, emb_ag[0].at[batch.push_idx].set(
+                        jnp.where(valid, pad_cols(ag0, D), 0.0
+                                  ).astype(emb_ag[0].dtype)))
                 else:
                     dim = model.layer_input_dim(layer)
                     x_in = exchange(emb[layer])[:, :dim].astype(jnp.float32)
                     ag = model.vr_cache_value(params, layer, batch.adj, x_in)
-                    emb_ag = emb_ag.at[layer, batch.push_idx].set(
-                        jnp.where(valid, pad_cols(ag, D), 0.0).astype(emb_ag.dtype))
+                    emb_ag = tup_set(
+                        emb_ag, layer, emb_ag[layer].at[batch.push_idx].set(
+                            jnp.where(valid, pad_cols(ag, D), 0.0
+                                      ).astype(emb_ag[layer].dtype)))
                 x0_ib = None
                 if model.needs_x0 and layer > 0:
                     x0_ib = jnp.take(emb[0], batch.push_idx, axis=0)[
@@ -873,8 +885,10 @@ class ShardedVRTrainer:
                 out = model.forward_layer(params, state, layer, x_in, x0_ib,
                                           batch.adj)
                 if layer < L - 1:
-                    emb = emb.at[layer + 1, batch.push_idx].set(
-                        jnp.where(valid, pad_cols(out[:r_pad], D), 0.0).astype(emb.dtype))
+                    emb = tup_set(
+                        emb, layer + 1, emb[layer + 1].at[batch.push_idx].set(
+                            jnp.where(valid, pad_cols(out[:r_pad], D), 0.0
+                                      ).astype(emb[layer + 1].dtype)))
                 else:
                     out_tab = out_tab.at[batch.push_idx].set(
                         jnp.where(valid, out[:r_pad], 0.0))
@@ -887,7 +901,9 @@ class ShardedVRTrainer:
         P_ = P
         rep = P_()
         node2 = P_(axis, None)
-        hist_spec = HistoryState(P_(None, axis, None), P_(None, axis, None))
+        L_ = self.model.cfg.num_layers
+        hist_spec = HistoryState(tuple(P_(axis, None) for _ in range(L_)),
+                                 tuple(P_(axis, None) for _ in range(L_)))
         batch_spec = jax.tree.map(lambda _: P_(axis), self._eval_stacks[0])
         halo_spec = jax.tree.map(lambda _: P_(axis), self._halo_plans[0])
         smapped = shard_map(
@@ -1089,11 +1105,18 @@ class ShardedVRTrainer:
         self.rng = restored["rng"]
 
     def hist_arrays(self):
-        return {"hist_emb": self.hist.emb, "hist_emb_ag": self.hist.emb_ag}
+        out = {}
+        for l, t in enumerate(self.hist.emb):
+            out[f"hist_emb_{l}"] = t
+        for l, t in enumerate(self.hist.emb_ag):
+            out[f"hist_emb_ag_{l}"] = t
+        return out
 
     def set_hist_arrays(self, arrs):
-        self.hist = HistoryState(emb=arrs["hist_emb"],
-                                 emb_ag=arrs["hist_emb_ag"])
+        L = self.model.cfg.num_layers
+        self.hist = HistoryState(
+            emb=tuple(arrs[f"hist_emb_{l}"] for l in range(L)),
+            emb_ag=tuple(arrs[f"hist_emb_ag_{l}"] for l in range(L)))
 
     def fit(self, epochs: Optional[int] = None) -> Dict[str, float]:
         epochs = self.cfg.epochs if epochs is None else epochs

@@ -178,7 +178,8 @@ class ShardedCheckpointManager(CheckpointManager):
     File layout per checkpoint epoch E:
       ``ckpt_E.npz`` (+ ``.meta.json``) — replicated leaves (params,
       optimizer, BN state, RNG), written by process 0 only
-      ``ckpt_E.hist-pXXX.npz`` — process XXX's history shards, one entry
+      ``ckpt_E.hist-pXXX.npz`` — process XXX's history shards (one
+      per-layer table per entry), one entry
       per (stack, row_start)
     """
 
@@ -191,7 +192,7 @@ class ShardedCheckpointManager(CheckpointManager):
         for name, arr in trainer.hist_arrays().items():
             seen = set()
             for sh in arr.addressable_shards:
-                start = sh.index[1].start or 0
+                start = sh.index[0].start or 0
                 if start in seen:  # dim replicated across devices
                     continue
                 seen.add(start)
@@ -239,7 +240,7 @@ class ShardedCheckpointManager(CheckpointManager):
                         arr.shape)
                     pieces = []
                     for dev, idx in imap.items():
-                        start = idx[1].start or 0
+                        start = idx[0].start or 0
                         want = tuple(
                             len(range(*sl.indices(dim)))
                             for sl, dim in zip(idx, arr.shape))

@@ -117,7 +117,8 @@ class SpillVRTrainer(Trainer):
             y = jnp.take(tables.y, batch.push_idx, axis=0)
             mask = jnp.take(tables.train_mask, batch.push_idx, axis=0)
             mask = mask & (jnp.arange(batch.push_idx.shape[0]) < batch.batch_size)
-            acc0 = jnp.zeros((L, batch.push_idx.shape[0], D), jnp.float32)
+            acc0 = tuple(jnp.zeros((batch.push_idx.shape[0], D), jnp.float32)
+                         for _ in range(L))
 
             def loss_fn(p):
                 model._stream_pulled = pulled
@@ -245,7 +246,7 @@ class SpillVRTrainer(Trainer):
                 # populated at trace time by push_and_pull's streaming branch
                 self._gas_push_slots = sorted(self._gas_traced_slots)
             bs = hb.batch_size
-            acc_host = np.asarray(acc)
+            acc_host = np.stack([np.asarray(a) for a in acc])
             for slot in self._gas_push_slots:
                 self.spill_in[slot].async_push(
                     acc_host[slot][:bs], offset=hb.offset, count=hb.count)

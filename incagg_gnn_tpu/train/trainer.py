@@ -221,8 +221,20 @@ class Trainer:
             static_groups=cfg.static_groups,
             **(blk_kwargs if train_fmt == "block" else {}),
         )
+        # global-column eval collate (loader.global_cols): the refresh sweep
+        # gathers aggregation slots straight from the [N+1, D] cache tables
+        # instead of materializing each batch's ~whole-graph x_in — the
+        # sum/mean family only (pre_agg-honoring forward_layer), and only
+        # for single-device trainers (the sharded refresh has its own halo
+        # path; the GSPMD-mesh Trainer keeps the gather pattern GSPMD
+        # already partitions)
+        global_ok = (
+            blockable and cfg.use_aggregation and mesh is None
+            and eval_fmt in ("hybrid-fwd", "block-fwd")
+        )
         self.eval_loader = EvalSubgraphLoader(
             data, ptr, batch_size=cfg.eval_batch_size, adj_format=eval_fmt,
+            global_cols=global_ok,
             **(blk_kwargs if eval_fmt == "block-fwd" else {}),
         )
 
@@ -314,20 +326,20 @@ class Trainer:
             ax = mesh.axis_names[0]
             row = NamedSharding(mesh, P(ax))
             row2 = NamedSharding(mesh, P(ax, None))
-            hist_sh = NamedSharding(mesh, P(None, ax, None))
-            hist_pad = rows_pad - self.hist.emb.shape[1]
+            hist_sh = NamedSharding(mesh, P(ax, None))
+            hist_pad = rows_pad - self.hist.emb[0].shape[0]
             if hist_pad:
-                z = jnp.zeros(
-                    (self.hist.emb.shape[0], hist_pad, self.hist.emb.shape[2]),
-                    self.hist.emb.dtype,
-                )
+                z = jnp.zeros((hist_pad, self.hist.emb[0].shape[1]),
+                              self.hist.emb[0].dtype)
                 self.hist = self.hist._replace(
-                    emb=jnp.concatenate([self.hist.emb, z], axis=1),
-                    emb_ag=jnp.concatenate([self.hist.emb_ag, z], axis=1),
+                    emb=tuple(jnp.concatenate([t, z]) for t in self.hist.emb),
+                    emb_ag=tuple(jnp.concatenate([t, z])
+                                 for t in self.hist.emb_ag),
                 )
             self.hist = self.hist._replace(
-                emb=jax.device_put(self.hist.emb, hist_sh),
-                emb_ag=jax.device_put(self.hist.emb_ag, hist_sh),
+                emb=tuple(jax.device_put(t, hist_sh) for t in self.hist.emb),
+                emb_ag=tuple(jax.device_put(t, hist_sh)
+                             for t in self.hist.emb_ag),
             )
             self.tables = self.tables._replace(
                 x=jax.device_put(pad_to(self.tables.x), row2),
@@ -714,8 +726,8 @@ def full_graph_forward(
     # model sized for the training graph; build a cache sized for this one
     L, D = model.cfg.num_layers, model.hist_dim
     hist = HistoryState(
-        emb=jnp.zeros((L, n + 1, D), jnp.float32),
-        emb_ag=jnp.zeros((L, n + 1, D), jnp.float32),
+        emb=tuple(jnp.zeros((n + 1, D), jnp.float32) for _ in range(L)),
+        emb_ag=tuple(jnp.zeros((n + 1, D), jnp.float32) for _ in range(L)),
     )
     tables = make_tables(data)
     # note: separate refresh-fn cache — shapes differ from training graph

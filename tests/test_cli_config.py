@@ -279,8 +279,8 @@ class TestCheckpointVariants:
         assert t2.epoch == 4
         assert np.allclose(np.asarray(t1.hist.emb), np.asarray(t2.hist.emb))
         # restored history keeps its mesh sharding
-        assert t2.hist.emb.sharding.is_equivalent_to(
-            t1.hist.emb.sharding, t1.hist.emb.ndim)
+        assert t2.hist.emb[0].sharding.is_equivalent_to(
+            t1.hist.emb[0].sharding, t1.hist.emb[0].ndim)
         e1, e2 = t1.evaluate(), t2.evaluate()
         assert abs(e1["test_acc"] - e2["test_acc"]) < 1e-6
 
@@ -315,11 +315,11 @@ class TestCheckpointVariants:
         shard = tmp_path / "ckpt_000003.hist-p000.npz"
         assert shard.exists()
         z = np.load(shard)
-        emb_keys = sorted(k for k in z.files if k.startswith("hist_emb:"))
+        emb_keys = sorted(k for k in z.files if k.startswith("hist_emb_0:"))
         assert len(emb_keys) == 4  # one slab per device — never the full array
-        full_rows = t1.hist.emb.shape[1]
+        full_rows = t1.hist.emb[0].shape[0]
         for k in emb_keys:
-            assert z[k].shape[1] == full_rows // 4, (k, z[k].shape)
+            assert z[k].shape[0] == full_rows // 4, (k, z[k].shape)
 
         t2 = ShardedVRTrainer(GCN(cfg), data, tcfg, mesh=make_mesh(4))
         assert cm.maybe_restore(t2)
@@ -327,8 +327,8 @@ class TestCheckpointVariants:
         assert np.allclose(np.asarray(t1.hist.emb), np.asarray(t2.hist.emb))
         assert np.allclose(np.asarray(t1.hist.emb_ag),
                            np.asarray(t2.hist.emb_ag))
-        assert t2.hist.emb.sharding.is_equivalent_to(
-            t1.hist.emb.sharding, t1.hist.emb.ndim)
+        assert t2.hist.emb[0].sharding.is_equivalent_to(
+            t1.hist.emb[0].sharding, t1.hist.emb[0].ndim)
         e1, e2 = t1.evaluate(), t2.evaluate()
         assert abs(e1["test_acc"] - e2["test_acc"]) < 1e-6
         # GC removes whole checkpoint epochs including their shard files

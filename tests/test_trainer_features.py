@@ -366,3 +366,83 @@ class TestDeviceMetrics:
 
     def test_multilabel(self):
         self._check(True)
+
+
+class TestGlobalColsRefresh:
+    """Global-column eval refresh (loader.global_cols → model
+    _refresh_batch_step_global): aggregation slots gather straight from the
+    cache tables.  Must be numerically equivalent to the batch-local COO
+    sweep in f32 on every covered model family and in every dispatch mode
+    (resident scan / per-batch fallback / partial-refresh subset)."""
+
+    def _mk(self, sbm_small, model_name, fmt, **tkw):
+        import numpy as np
+
+        from incagg_gnn_tpu.models import (
+            APPNP, APPNPConfig, GCN, GCN2, GCN2Config, GCNConfig, GraphSAGE,
+            SAGEConfig)
+        from incagg_gnn_tpu.train.trainer import Trainer, TrainerConfig
+
+        data, in_c, out_c = sbm_small
+        common = dict(num_nodes=data.num_nodes, in_channels=in_c,
+                      out_channels=out_c, num_layers=2, dropout=0.0)
+        di = dict(drop_input=False)
+        model = {
+            "gcn": lambda: GCN(GCNConfig(hidden_channels=16, **common, **di)),
+            "gcn2": lambda: GCN2(GCN2Config(hidden_channels=16,
+                                            shared_weights=False, alpha=0.1,
+                                            theta=0.5, **common, **di)),
+            "appnp": lambda: APPNP(APPNPConfig(hidden_channels=16, alpha=0.1,
+                                               **common)),
+            "sage": lambda: GraphSAGE(SAGEConfig(hidden_channels=16,
+                                                 **common, **di)),
+        }[model_name]()
+        tcfg = TrainerConfig(num_parts=8, batch_size=1, vr_update=True,
+                             seed=0, epochs=1, adj_format=fmt, **tkw)
+        tr = Trainer(model, data, tcfg)
+        tr.fill_history()
+        return tr
+
+    @pytest.mark.parametrize("model_name", ["gcn", "gcn2", "appnp", "sage"])
+    def test_matches_coo_sweep(self, sbm_small, model_name):
+        import numpy as np
+
+        hy = self._mk(sbm_small, model_name, "hybrid")
+        co = self._mk(sbm_small, model_name, "coo")
+        assert hy.model._last_refresh_plan["global_cols"] is True
+        assert co.model._last_refresh_plan["global_cols"] is False
+        lh = np.asarray(hy.out_table[: sbm_small[0].num_nodes])
+        lc = np.asarray(co.out_table[: sbm_small[0].num_nodes])
+        assert np.allclose(lh, lc, atol=2e-5), np.abs(lh - lc).max()
+        # caches match too (M_in and M_ag per layer)
+        for a, b in zip(hy.hist.emb, co.hist.emb):
+            assert np.allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+        for a, b in zip(hy.hist.emb_ag, co.hist.emb_ag):
+            assert np.allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+    def test_per_batch_fallback_matches(self, sbm_small):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        tr = self._mk(sbm_small, "gcn2", "hybrid")
+        scan_out = np.asarray(tr.out_table[: sbm_small[0].num_nodes])
+        # re-run the sweep unscanned (per-batch global jits)
+        _, hist, out = tr.model.refresh(
+            tr.params, tr.state, tr.tables.x, tr.eval_loader,
+            jax.tree.map(jnp.copy, tr.hist), None, vr=True, scan=False,
+            host_logits=False)
+        assert tr.model._last_refresh_plan["use_scan"] is False
+        assert tr.model._last_refresh_plan["global_cols"] is True
+        got = np.asarray(out[: sbm_small[0].num_nodes])
+        assert np.allclose(got, scan_out, atol=2e-5)
+
+    def test_partial_refresh_global(self, sbm_small):
+        """refresh_frac under the global path: refreshed clusters update,
+        and training still converges (pair consistency kept per batch)."""
+        tr = self._mk(sbm_small, "gcn", "hybrid", refresh_frac=0.5)
+        for _ in range(6):
+            tr.train_epoch()
+            tr._refresh(host_logits=False)
+        acc = tr.evaluate()
+        assert acc["test_acc"] > 0.8, acc
