@@ -184,18 +184,23 @@ def _bench_shape(name, n, avg_degree, fmt, dtype_s, num_parts, classes,
     if kind == "train":
         # fwd + transpose-bwd per iteration, chained through x so the scan
         # stays data-dependent (grad enters the next carry)
-        def step(h):
-            out, vjp = jax.vjp(lambda v: fn(ops, v), h)
+        def step(h, o):
+            out, vjp = jax.vjp(lambda v: fn(o, v), h)
             (g,) = vjp(out)
             return (h - 1e-3 * g.astype(h.dtype)).astype(h.dtype)
     else:
-        def step(h):
-            return fn(ops, h).astype(h.dtype)
+        def step(h, o):
+            return fn(o, h).astype(h.dtype)
 
+    # NOTE: step must close over run's *parameter* (a tracer), never the
+    # outer concrete ops arrays — closed-over device arrays are inlined
+    # into the HLO as constants, and the remote-compile tunnel rejects
+    # the resulting 100s-of-MB program (HTTP 413) at products/reddit
+    # shapes.
     @jax.jit
     def run(x, ops):
         def body(h, _):
-            return step(h), None
+            return step(h, ops), None
         h, _ = jax.lax.scan(body, x, None, length=iters)
         return h.sum()
 
