@@ -164,6 +164,10 @@ class ShardedVRTrainer:
     the static halo all_to_all (batch-parallel GAS — the reference's GAS rule
     generalized to a pod slice)."""
 
+    #: subclasses keeping the caches off-device (parallel/spill_sharded)
+    #: set this False so __init__ never allocates the HBM tables at all
+    _alloc_device_hist = True
+
     def __init__(self, model: ScalableGNN, data: GraphData, cfg: TrainerConfig,
                  mesh: Optional[Mesh] = None, n_devices: Optional[int] = None,
                  log: bool = False):
@@ -275,12 +279,17 @@ class ShardedVRTrainer:
         L, D = model.cfg.num_layers, model.hist_dim
         hist_sh = NamedSharding(self.mesh, P(self.axis, None))
         self._hist_sh = hist_sh
-        self.hist = HistoryState(
-            emb=tuple(jax.device_put(jnp.zeros((lay.num_rows, D), hist_dtype),
-                                     hist_sh) for _ in range(L)),
-            emb_ag=tuple(jax.device_put(jnp.zeros((lay.num_rows, D), hist_dtype),
-                                        hist_sh) for _ in range(L)),
-        )
+        if self._alloc_device_hist:
+            self.hist = HistoryState(
+                emb=tuple(
+                    jax.device_put(jnp.zeros((lay.num_rows, D), hist_dtype),
+                                   hist_sh) for _ in range(L)),
+                emb_ag=tuple(
+                    jax.device_put(jnp.zeros((lay.num_rows, D), hist_dtype),
+                                   hist_sh) for _ in range(L)),
+            )
+        else:  # spill subclass keeps the caches in host DRAM
+            self.hist = None
         self.out_tab = jax.device_put(
             jnp.zeros((lay.num_rows, model.cfg.out_channels), jnp.float32), node_sh2
         )

@@ -355,8 +355,34 @@ def _run_once(args, run_cfg, data, in_c, out_c, eval_graphs=None):
 
             assert args.n_devices % args.n_hosts == 0, (args.n_devices, args.n_hosts)
             mesh = make_mesh_2d(args.n_hosts, args.n_devices // args.n_hosts)
-        trainer = ShardedVRTrainer(model, data, run_cfg.trainer, mesh=mesh,
-                                   n_devices=args.n_devices, log=True)
+        # memory-budget gate: when a shard's cache slab would not fit the
+        # per-chip HBM budget, fall to the host-DRAM spill composition
+        # (--spill forces it; VR mode only)
+        L = int(run_cfg.architecture.get("num_layers", model.cfg.num_layers))
+        hist_bytes = (2 * L * (data.num_nodes + args.n_devices)
+                      * model.hist_dim
+                      * (2 if run_cfg.trainer.hist_dtype == "bfloat16" else 4))
+        budget = int(os.environ.get("INCAGG_HBM_BUDGET_MB",
+                                    "9000")) << 20  # v5e: 16 GB minus
+        # activations/tables/stacked-batch headroom
+        want_spill = (getattr(args, "spill", False)
+                      or hist_bytes // args.n_devices > budget)
+        if want_spill and run_cfg.trainer.vr_update:
+            from incagg_gnn_tpu.parallel.spill_sharded import (
+                ShardedSpillVRTrainer)
+
+            log.info(
+                f"sharded spill tier: cache slab "
+                f"{hist_bytes // args.n_devices >> 20} MB/device vs budget "
+                f"{budget >> 20} MB — histories stay in host DRAM")
+            trainer = ShardedSpillVRTrainer(model, data, run_cfg.trainer,
+                                            mesh=mesh,
+                                            n_devices=args.n_devices,
+                                            log=True)
+        else:
+            trainer = ShardedVRTrainer(model, data, run_cfg.trainer,
+                                       mesh=mesh, n_devices=args.n_devices,
+                                       log=True)
     elif getattr(args, "spill", False):
         from incagg_gnn_tpu.train.spill_trainer import SpillVRTrainer
 
