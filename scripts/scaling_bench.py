@@ -143,6 +143,24 @@ def main():
         results["decomposition"].append(rec)
         print(json.dumps(rec), flush=True)
 
+    # ---- corrected communication fraction --------------------------------
+    # The loopback control skips BOTH the wire and the send-buffer
+    # materialization (XLA fuses recv=send into the assembly gather), so
+    # the raw full-vs-loopback delta includes staging work both paths pay
+    # on real hardware.  The nd=1 row HAS no communication — its delta IS
+    # the staging-materialization term; subtracting it isolates the
+    # collective itself.
+    rows = results["decomposition"]
+    if rows and rows[0]["devices"] == 1:
+        base_delta = rows[0]["comm_fraction_measured"]
+        for r in rows:
+            r["collective_fraction_corrected"] = round(
+                max(0.0, r["comm_fraction_measured"] - base_delta), 4)
+        nd_last = rows[-1]
+        results["projected_hw_efficiency_at_max_devices"] = round(
+            1.0 / (1.0 + nd_last["sharding_overhead_vs_1dev"]
+                   + nd_last["collective_fraction_corrected"]), 3)
+
     # ---- isolated all_to_all microbench at the real HaloPlan shapes ------
     nd = max(d for d in args.devices if d <= len(jax.devices()))
     tr = build(nd, "dense")
