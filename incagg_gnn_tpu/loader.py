@@ -419,7 +419,11 @@ class SubgraphLoader:
         else:
             total, rem_deg = measure_block_tier(rowptr, col, b.rows, b.cols,
                                                 b.blk)
-        b.k, b.ovf, grew = _grow(ell_buckets([rem_deg], k=b.k, ovf=b.ovf),
+        # forward-only (eval) remainders use the overflow-locality kink;
+        # bi (train fwd+bwd) chains measured the opposite optimum
+        # (ops/ell.choose_k docstring)
+        b.k, b.ovf, grew = _grow(ell_buckets([rem_deg], k=b.k, ovf=b.ovf,
+                                             locality_kink=not bi),
                                  b.k, b.ovf)
         if total > b.nb:
             b.nb, grew = total, True
@@ -438,7 +442,8 @@ class SubgraphLoader:
         total_t, rem_deg_t = measure_block_tier(transpose[0], transpose[1],
                                                 b.cols, b.rows, b.blk)
         b.k_t, b.ovf_t, grew_t = _grow(
-            ell_buckets([rem_deg_t], k=b.k_t, ovf=b.ovf_t), b.k_t, b.ovf_t)
+            ell_buckets([rem_deg_t], k=b.k_t, ovf=b.ovf_t,
+                        locality_kink=False), b.k_t, b.ovf_t)
         grew = grew or grew_t
         if total_t > b.nb_t:
             b.nb_t, grew = total_t, True

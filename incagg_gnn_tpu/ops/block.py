@@ -49,7 +49,8 @@ LANES = 4  # dense tiles per grid step
 # v5e cost-model constants (docs/RESULTS.md measurements)
 _HBM_GBPS = 819.0
 _C_SLOT_NS = {4: 5.7, 2: 5.3}  # ELL per-slot cost by x itemsize
-_COO_RATIO = 3.0  # overflow edge ~3x an ELL slot
+_COO_RATIO = 3.0  # overflow edge ~3x an ELL slot in the small-overflow
+# regime; the scale-dependent locality knee lives in ops/ell.choose_k
 
 
 class BlockDense(NamedTuple):
@@ -104,9 +105,13 @@ def _cost_ns(counts: np.ndarray, num_edges: int,
     def hyb_cost(degs, e):
         if e == 0:
             return 0.0
+        from incagg_gnn_tpu.ops.ell import (_OVF_LOCALITY_EDGES,
+                                            _OVF_LOCALITY_EXTRA)
+
         k = choose_k(degs)
         ovf = int(np.maximum(degs - k, 0).sum())
-        return (degs.size * k + _COO_RATIO * ovf) * c_slot
+        extra = _OVF_LOCALITY_EXTRA * max(0, ovf - _OVF_LOCALITY_EDGES)
+        return (degs.size * k + _COO_RATIO * ovf + extra) * c_slot
 
     base = hyb_cost(deg, num_edges)
     dense_mask = counts >= thresh
@@ -580,12 +585,24 @@ def build_bi_block_hybrid(
     ``transpose`` optionally supplies a precomputed host
     ``(t_rowptr, t_col, t_val)`` (the loader measures the transpose for
     bucket sizing and passes it through to avoid a second transpose)."""
-    fwd = build_block_hybrid(rowptr, col, value, num_rows_pad, num_cols_pad,
-                             thresh, a_dtype=a_dtype, k=k, ovf_pad=ovf_pad,
-                             nb_pad=nb_pad)
+    # bi remainders size WITHOUT the overflow-locality kink (choose_k):
+    # the chained fwd+bwd keeps the gather working set hot, so large
+    # overflows stay cheap and extra ELL slots are pure cost (measured:
+    # products bi k=8 131M vs k=16 105M e/s)
+    if k is None:
+        _, rem_deg = measure_block_tier(rowptr, col, num_rows_pad,
+                                        num_cols_pad, thresh)
+        k = choose_k(rem_deg, locality_kink=False)
     if transpose is None:
         transpose = transpose_csr_host(rowptr, col, value, num_cols_pad)
     t_rowptr, t_col, t_val = transpose
+    if k_t is None:
+        _, rem_deg_t = measure_block_tier(t_rowptr, t_col, num_cols_pad,
+                                          num_rows_pad, thresh)
+        k_t = choose_k(rem_deg_t, locality_kink=False)
+    fwd = build_block_hybrid(rowptr, col, value, num_rows_pad, num_cols_pad,
+                             thresh, a_dtype=a_dtype, k=k, ovf_pad=ovf_pad,
+                             nb_pad=nb_pad)
     bwd = build_block_hybrid(t_rowptr, t_col, t_val, num_cols_pad,
                              num_rows_pad, thresh, a_dtype=a_dtype, k=k_t,
                              ovf_pad=ovf_pad_t, nb_pad=nb_pad_t)

@@ -74,8 +74,14 @@ class HybridAdj(NamedTuple):
         )
 
 
+#: see choose_k: extra per-edge slot-cost beyond ``coo_cost_ratio`` for
+#: overflow edges past the locality knee
+_OVF_LOCALITY_EXTRA = 7.0
+_OVF_LOCALITY_EDGES = 200_000
+
+
 def choose_k(degrees: np.ndarray, quantile: float = 0.98, align: int = 8,
-             coo_cost_ratio: float = 3.0) -> int:
+             coo_cost_ratio: float = 3.0, locality_kink: bool = True) -> int:
     """ELL width minimizing the measured hybrid cost model.
 
     Every row pays ``k`` ELL slots (gather + reduce) whether real or padded;
@@ -105,11 +111,25 @@ def choose_k(degrees: np.ndarray, quantile: float = 0.98, align: int = 8,
     gt = np.concatenate([[nz], gt])  # now gt[j] = #rows with degree > j
     ovf = np.concatenate([np.cumsum(gt[::-1])[::-1], [0]])
     cands = np.arange(align, kmax + 1, align, dtype=np.int64)
-    cost = degrees.size * cands + coo_cost_ratio * ovf[cands]
+    # Two-regime overflow cost for FORWARD aggregations: ~3x an ELL slot
+    # while the overflow working set stays cache/locality-friendly, rising
+    # toward ~10x once it does not (measured at the reddit block
+    # remainder: 855K ovf edges cost ~55-70 ns/edge vs the 17 ns
+    # small-overflow measurement — widening K 16->24 bought +20% e2e).
+    # ``locality_kink=False`` for the BI (train fwd+bwd) chains: measured
+    # the OPPOSITE there (products bi k=8: 131M vs k=16: 105M e/s — the
+    # chained VJP keeps the gather working set hot, so overflow stays
+    # cheap and extra ELL slots are pure cost).
+    # scripts/probes/_block_tune_probe.py, /tmp probes; docs/RESULTS.md r3.
+    oc = ovf[cands].astype(np.float64)
+    extra = (_OVF_LOCALITY_EXTRA if locality_kink else 0.0)
+    cost = (degrees.size * cands + coo_cost_ratio * oc
+            + extra * np.maximum(0.0, oc - _OVF_LOCALITY_EDGES))
     return int(cands[int(np.argmin(cost))])
 
 
-def ell_buckets(degree_arrays, k: int = 8, ovf: int = 8):
+def ell_buckets(degree_arrays, k: int = 8, ovf: int = 8,
+                coo_cost_ratio: float = 3.0, locality_kink: bool = True):
     """Shared ELL/overflow bucket sizes covering every batch.
 
     ``degree_arrays`` is an iterable of per-row degree vectors (one per
@@ -121,7 +141,8 @@ def ell_buckets(degree_arrays, k: int = 8, ovf: int = 8):
     previously three drifting copies of the same logic."""
     arrays = list(degree_arrays)
     for deg in arrays:
-        k = max(k, choose_k(deg))
+        k = max(k, choose_k(deg, coo_cost_ratio=coo_cost_ratio,
+                            locality_kink=locality_kink))
     need = 0
     for deg in arrays:
         need = max(need, int(np.maximum(deg - k, 0).sum()))

@@ -447,7 +447,9 @@ class ShardedVRTrainer:
                 nb = max(nb, total)
                 rem_degs.append(rem_deg)
             nb = max(nb, (rp // 128) * 4)  # empty-device batches: all filler
-            k, ovf = ell_buckets(rem_degs)
+            # eval (fwd-only) sizing uses the overflow-locality kink; bi
+            # train chains measured the opposite (ops/ell.choose_k)
+            k, ovf = ell_buckets(rem_degs, locality_kink=not bi)
             return nb, k, ovf
 
         nb, k, ovf = size_dir(lambda b: b.adj_args[:2], r_pad, c_pad)
