@@ -44,13 +44,24 @@ def make_sbm(
     seed: int = 0,
     multilabel: bool = False,
     centers_seed: int | None = None,
+    label_noise: float = 0.0,
 ) -> Tuple[GraphData, int, int]:
     """Stochastic-block-model graph with class-correlated features.
 
     Edges are sampled so a fraction ``p_in`` stays within the node's community
     (community == label), giving both homophily (GNNs beat MLPs) and locality
     (partitioners find low cuts).  The graph is symmetrized.
-    """
+
+    ``label_noise`` flips that fraction of OBSERVED labels (train, val and
+    test alike) to a uniformly random class AFTER the graph/features were
+    generated from the true communities — an accuracy ceiling of about
+    ``1 - label_noise * (C-1)/C`` that no model can exceed, mirroring the
+    label-ambiguity ceiling of real benchmarks (ogbn-products tops out at
+    75-84% for every architecture).  Used by the hard presets to keep
+    strong models in a non-saturated band: homophily (p_in) alone cannot —
+    identity-propagation models (GCNII) have a sharp phase transition
+    around p_in ~0.35-0.4 at degree 50 while GCN stays saturated at any
+    p_in above it (docs/RESULTS.md r3 calibration)."""
     rng = np.random.default_rng(seed)
     y = rng.integers(0, num_classes, size=num_nodes).astype(np.int32)
 
@@ -84,6 +95,11 @@ def make_sbm(
     train_mask = index2mask(perm[:n_train], num_nodes)
     val_mask = index2mask(perm[n_train : n_train + n_val], num_nodes)
     test_mask = index2mask(perm[n_train + n_val :], num_nodes)
+
+    if label_noise > 0.0:
+        flip = rng.random(num_nodes) < label_noise
+        y = np.where(flip, rng.integers(0, num_classes, size=num_nodes),
+                     y).astype(np.int32)
 
     if multilabel:
         y_ml = np.zeros((num_nodes, num_classes), dtype=np.float32)
@@ -130,12 +146,19 @@ _SBM_HARD_PRESETS = {
         num_nodes=20_000, num_classes=16, num_features=64, avg_degree=12.0,
         p_in=0.4, feature_noise=6.0, train_frac=0.05,
     ),
-    # products degree (50) smooths noise over ~4x more neighbors, so the
-    # same band needs much lower homophily (calibrated: p_in 0.3 -> 0.985,
-    # 0.25 -> 0.909, 0.2 -> 0.666 GAS vs 0.180 MLP)
+    # products degree (50): the r2 point (p_in 0.2, GCN-calibrated to
+    # 0.666) sat BELOW the sharp homophily phase transition of
+    # identity-propagation models — GCNII scores 0.17-0.22 for every
+    # (alpha, theta, lr, depth, epochs) at p_in <= 0.35 and 0.98 at 0.4,
+    # while GCN stays saturated at any p_in above it, so no uniform-SBM
+    # homophily point can band the whole family (r3 calibration,
+    # docs/RESULTS.md).  v2 therefore sits ABOVE the transition and bounds
+    # accuracy with a label-noise ceiling (~0.77 for 0.25 noise at C=16)
+    # instead — mirroring how real ogbn-products keeps every architecture
+    # at 75-84%.
     "sbm-products-hard": dict(
         num_nodes=50_000, num_classes=16, num_features=64, avg_degree=50.0,
-        p_in=0.2, feature_noise=8.0, train_frac=0.05,
+        p_in=0.4, feature_noise=8.0, train_frac=0.05, label_noise=0.25,
     ),
 }
 

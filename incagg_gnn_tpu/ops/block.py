@@ -44,7 +44,12 @@ from incagg_gnn_tpu.ops.ell import (
 )
 
 B = 128  # tile edge (MXU native)
-LANES = 4  # dense tiles per grid step
+# dense tiles per grid step: amortizes the ~287 ns/step grid overhead.
+# 8 measures 160 ns/tile vs 190 at 4 on the reddit-shape tile set (+4% more
+# filler tiles but 12% faster; 16 is no better — r3 probe, docs/RESULTS.md);
+# LANES=4/8 outputs agree to 7e-9.  Overridable for probes (the tile list
+# layout is LANES-dependent — rebuild after changing).
+LANES = int(os.environ.get("INCAGG_BLOCK_LANES", "8"))
 
 # v5e cost-model constants (docs/RESULTS.md measurements)
 _HBM_GBPS = 819.0
@@ -374,11 +379,11 @@ def _dense_call(dense: BlockDense, x: jnp.ndarray, num_rows: int):
     s = dense.brow_step.shape[0]
     d = x.shape[1]
 
-    def kernel(brow_ref, bcols_ref, a_ref, x0, x1, x2, x3, o_ref):
+    def kernel(brow_ref, bcols_ref, a_ref, *refs):
+        *xs, o_ref = refs
         i = pl.program_id(0)
         prev = brow_ref[jnp.maximum(i - 1, 0)]
         first = jnp.logical_or(i == 0, brow_ref[i] != prev)
-        xs = (x0, x1, x2, x3)
         acc = jnp.dot(a_ref[0], xs[0][...], preferred_element_type=jnp.float32)
         for j in range(1, LANES):
             acc += jnp.dot(a_ref[j], xs[j][...],
@@ -417,7 +422,7 @@ def _dense_call(dense: BlockDense, x: jnp.ndarray, num_rows: int):
     # caches; accumulation stays f32 via preferred_element_type)
     if x.dtype != dense.a.dtype:
         x = x.astype(dense.a.dtype)
-    return call(dense.brow_step, dense.bcols, dense.a, x, x, x, x)
+    return call(dense.brow_step, dense.bcols, dense.a, *([x] * LANES))
 
 
 def spmm_block(adj: BlockHybridAdj, x: jnp.ndarray) -> jnp.ndarray:
