@@ -12,7 +12,16 @@ GCNII/APPNP-products, GraphSAGE-reddit), each on the tier the trainer's
 
 plus, for each shape, a TRAIN-STEP row (forward + transpose backward via
 the custom-VJP bi-format, VERDICT r2 #6) — the quantity that decides epoch
-time, not just the forward aggregation.
+time, not just the forward aggregation.  The train chain includes one
+[D, D] weight layer (fwd matmul + grad), as every real train step has:
+round-4 tracing showed a bare A@x / A^T@g chain is an XLA
+memory-space-assignment pathology — with NO op between producing the
+cotangent and the transpose gather, MSA cannot stage the gather table in
+alternate memory and the gather runs 4.4x slower (12.3 vs 2.8 ns/slot at
+the arxiv shape) than in any realistic step, where the interposed linear
+backward provides the prefetch window (docs/RESULTS.md "train-step
+backward chain", r4).  The extra matmul work is NOT credited: edges/s
+still counts aggregated edges only (conservative).
 
 All rows are scan-chained so the result is data-dependent end-to-end (no
 async-dispatch timing artifacts through the axon tunnel).
@@ -63,9 +72,11 @@ PRIOR = {
     ("arxiv", "fwd"): 126.3e6,
     ("products", "fwd"): 205.0e6,
     ("reddit", "fwd"): 236.6e6,
-    ("arxiv", "train"): None,
-    ("products", "train"): None,
-    ("reddit", "train"): None,
+    # train rows: BENCH_r03 driver-captured values (bare-chain harness);
+    # the r4 harness (weight layer + gather-emitter fixes) must beat them
+    ("arxiv", "train"): 41.5e6,
+    ("products", "train"): 118.0e6,
+    ("reddit", "train"): 137.3e6,
 }
 GUARD_RATIO = 0.7
 
@@ -132,8 +143,7 @@ def _build(name, n, avg_degree, fmt, dtype_s, num_parts, classes, kind):
     itemsize = 2 if dtype_s == "bf16" else 4
 
     def _cast_hyb(h):
-        return h._replace(ell_vals=h.ell_vals.astype(dt),
-                          ovf_vals=h.ovf_vals.astype(dt))
+        return h.cast_values(dt)
 
     ops, fn = None, None
     if fmt == "block":
@@ -180,17 +190,29 @@ def _bench_shape(name, n, avg_degree, fmt, dtype_s, num_parts, classes,
     itemsize = 2 if dtype_s == "bf16" else 4
     ops, fn, fmt, e, x = _build(name, n, avg_degree, fmt, dtype_s,
                                 num_parts, classes, kind)
+    # more scan iterations at small shapes: the axon tunnel adds ~30-38 ms
+    # of per-call dispatch/readback latency, which at the arxiv shape
+    # (~19 ms/iter on-chip) would otherwise masquerade as kernel time
+    if e < 3_000_000:
+        iters = 50
+    import jax.numpy as jnp
+
+    w = jnp.asarray(
+        np.random.default_rng(3).standard_normal((D, D)) * 0.05, x.dtype)
 
     if kind == "train":
-        # fwd + transpose-bwd per iteration, chained through x so the scan
-        # stays data-dependent (grad enters the next carry)
-        def step(h, o):
-            out, vjp = jax.vjp(lambda v: fn(o, v), h)
-            (g,) = vjp(out)
-            return (h - 1e-3 * g.astype(h.dtype)).astype(h.dtype)
+        # representative train step: aggregation fwd -> weight layer ->
+        # full backward (weight grad + transpose aggregation), chained
+        # through x so the scan stays data-dependent
+        def step(h, w_, o):
+            def f(v, w_):
+                return (fn(o, v) @ w_).sum().astype(jnp.float32)
+            _, (dx, dw) = jax.value_and_grad(f, argnums=(0, 1))(h, w_)
+            return ((h - 1e-3 * dx.astype(h.dtype)).astype(h.dtype),
+                    (w_ - 1e-3 * dw.astype(w_.dtype)).astype(w_.dtype))
     else:
-        def step(h, o):
-            return fn(o, h).astype(h.dtype)
+        def step(h, w_, o):
+            return fn(o, h).astype(h.dtype), w_
 
     # NOTE: step must close over run's *parameter* (a tracer), never the
     # outer concrete ops arrays — closed-over device arrays are inlined
@@ -198,14 +220,15 @@ def _bench_shape(name, n, avg_degree, fmt, dtype_s, num_parts, classes,
     # the resulting 100s-of-MB program (HTTP 413) at products/reddit
     # shapes.
     @jax.jit
-    def run(x, ops):
-        def body(h, _):
-            return step(h, ops), None
-        h, _ = jax.lax.scan(body, x, None, length=iters)
-        return h.sum()
+    def run(x, w, ops):
+        def body(carry, _):
+            h, w_ = carry
+            return step(h, w_, ops), None
+        (h, w_), _ = jax.lax.scan(body, (x, w), None, length=iters)
+        return h.sum().astype(jnp.float32) + w_.sum().astype(jnp.float32)
 
     def timed():
-        float(run(x, ops))  # scalar readback forces completion
+        float(run(x, w, ops))  # scalar readback forces completion
 
     def measure():
         return e / (_time_run(timed) / iters)

@@ -345,28 +345,39 @@ def build_block_hybrid(
     )
 
 
-def _dense_reference(dense: BlockDense, x: jnp.ndarray,
+def _dense_reference(dense, x: jnp.ndarray,
                      num_rows: int) -> jnp.ndarray:
     """Pure-XLA equivalent of the Pallas kernel (block gather + batched
     matmul + sorted block segment-sum).  Used on non-TPU backends: it is
     semantically identical, and unlike interpret-mode Pallas it composes
     with shard_map/vmap/GSPMD on CPU test meshes.  (On TPU it measures
     0.38-1.02x of hybrid — docs/RESULTS.md — hence the kernel.)"""
+    lanes = int(dense.bcols.shape[0])
     d = x.shape[1]
     s = dense.brow_step.shape[0]
     bcol_flat = dense.bcols.T.reshape(-1)  # [NB] tile -> col block
-    brow_flat = jnp.repeat(dense.brow_step, LANES)  # [NB] tile -> row block
+    brow_flat = jnp.repeat(dense.brow_step, lanes)  # [NB] tile -> row block
     xt = x.reshape(-1, B, d)
     g = jnp.take(xt, bcol_flat, axis=0)  # [NB, B, d]
+    # f32 tiles must multiply at f32 (3-pass) — the TPU default single
+    # bf16 pass costs ~3e-3 relative error, which the f32 tier (and the
+    # overflow-incidence path replacing an exact segment-sum) must not pay;
+    # bf16 tiles keep the fast default (that IS their precision budget)
+    prec = (jax.lax.Precision.HIGHEST
+            if dense.a.dtype == jnp.float32 else None)
     prod = jnp.einsum("nij,njd->nid", dense.a.astype(jnp.float32),
                       g.astype(jnp.float32),
-                      preferred_element_type=jnp.float32)
+                      preferred_element_type=jnp.float32, precision=prec)
     out = jax.ops.segment_sum(prod, brow_flat, num_segments=num_rows // B,
                               indices_are_sorted=True)
     return out.reshape(num_rows, d)
 
 
-def _dense_call(dense: BlockDense, x: jnp.ndarray, num_rows: int):
+def _dense_call(dense, x: jnp.ndarray, num_rows: int):
+    """Dense-tile aggregation.  ``dense`` is any structure with fields
+    ``a [NB, B, B]``, ``brow_step [S]``, ``bcols [lanes, S]`` (BlockDense or
+    ops.ell.OvfIncidence); the lane count comes from ``bcols``."""
+    lanes = int(dense.bcols.shape[0])
     if jax.default_backend() != "tpu":
         # uniform dtype policy as the kernel below (tile-precision compute)
         if x.dtype != dense.a.dtype:
@@ -379,15 +390,21 @@ def _dense_call(dense: BlockDense, x: jnp.ndarray, num_rows: int):
     s = dense.brow_step.shape[0]
     d = x.shape[1]
 
+    # f32 tiles: full f32 multiply (see _dense_reference note)
+    prec = (jax.lax.Precision.HIGHEST
+            if dense.a.dtype == jnp.float32 else None)
+
     def kernel(brow_ref, bcols_ref, a_ref, *refs):
         *xs, o_ref = refs
         i = pl.program_id(0)
         prev = brow_ref[jnp.maximum(i - 1, 0)]
         first = jnp.logical_or(i == 0, brow_ref[i] != prev)
-        acc = jnp.dot(a_ref[0], xs[0][...], preferred_element_type=jnp.float32)
-        for j in range(1, LANES):
+        acc = jnp.dot(a_ref[0], xs[0][...],
+                      preferred_element_type=jnp.float32, precision=prec)
+        for j in range(1, lanes):
             acc += jnp.dot(a_ref[j], xs[j][...],
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                           precision=prec)
 
         @pl.when(first)
         def _():
@@ -403,8 +420,8 @@ def _dense_call(dense: BlockDense, x: jnp.ndarray, num_rows: int):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(s,),
-        in_specs=[pl.BlockSpec((LANES, B, B), lambda i, br, bc: (i, 0, 0))]
-                 + [make_xspec(j) for j in range(LANES)],
+        in_specs=[pl.BlockSpec((lanes, B, B), lambda i, br, bc: (i, 0, 0))]
+                 + [make_xspec(j) for j in range(lanes)],
         out_specs=pl.BlockSpec((B, d), lambda i, br, bc: (br[i], 0)),
     )
     call = pl.pallas_call(
@@ -422,7 +439,7 @@ def _dense_call(dense: BlockDense, x: jnp.ndarray, num_rows: int):
     # caches; accumulation stays f32 via preferred_element_type)
     if x.dtype != dense.a.dtype:
         x = x.astype(dense.a.dtype)
-    return call(dense.brow_step, dense.bcols, dense.a, *([x] * LANES))
+    return call(dense.brow_step, dense.bcols, dense.a, *([x] * lanes))
 
 
 def spmm_block(adj: BlockHybridAdj, x: jnp.ndarray) -> jnp.ndarray:
@@ -493,24 +510,19 @@ class BiBlockHybridAdj(NamedTuple):
         fwd = f._replace(dense=f.dense._replace(a=a_f), rem=rem_f, deg=deg)
         # bwd: mask tile rows by global row id
         bw = self.bwd
-        brow_flat = jnp.repeat(bw.dense.brow_step, LANES)  # [NB]
+        brow_flat = jnp.repeat(bw.dense.brow_step,
+                               bw.dense.bcols.shape[0])  # [NB]
         keep_b = (brow_flat[:, None] * B + col_of[None, :]) < batch_size
         a_b = jnp.where(keep_b[:, :, None], bw.dense.a, 0)
-        row_keep = (jnp.arange(bw.rem.num_rows) < batch_size)[:, None]
-        rem_b = bw.rem._replace(
-            ell_vals=jnp.where(row_keep, bw.rem.ell_vals, 0.0),
-            ovf_vals=jnp.where(
-                jnp.take(row_keep[:, 0], bw.rem.ovf_rows),
-                bw.rem.ovf_vals, 0.0),
-        )
-        bwd = bw._replace(dense=bw.dense._replace(a=a_b), rem=rem_b)
+        bwd = bw._replace(dense=bw.dense._replace(a=a_b),
+                          rem=bw.rem.mask_rows(batch_size))
         return BiBlockHybridAdj(fwd, bwd)
 
 
 def _dense_row_counts(dense: BlockDense, num_rows: int) -> jnp.ndarray:
     """True (nonzero) entry count per row of the dense tier."""
     counts = (dense.a != 0).sum(axis=2).astype(jnp.float32)  # [NB, B]
-    brow_flat = jnp.repeat(dense.brow_step, LANES)
+    brow_flat = jnp.repeat(dense.brow_step, dense.bcols.shape[0])
     per_block = jax.ops.segment_sum(
         counts, brow_flat, num_segments=num_rows // B,
         indices_are_sorted=True)
@@ -529,7 +541,12 @@ def _spmm_block_bi_fw(fwd, bwd, x):
 
 def _spmm_block_bi_bw(res, g):
     fwd, bwd = res
-    dx = spmm_block(bwd, g.astype(jnp.float32))
+    # keep the cotangent in its own dtype (bf16 when the tier is bf16): the
+    # f32 upcast doubled the backward remainder's gather bytes and pushed it
+    # over the row-chunk budget into a 2-chunk lax.map (r4 trace,
+    # docs/RESULTS.md "train-step backward chain") — same policy as the
+    # hybrid bi backward (ops/ell.py _spmm_sum_bi_bw)
+    dx = spmm_block(bwd, g)
     return (
         jax.tree.map(_zero_cotangent, fwd),
         jax.tree.map(_zero_cotangent, bwd),

@@ -26,6 +26,35 @@ import jax.numpy as jnp
 import numpy as np
 
 
+class OvfIncidence(NamedTuple):
+    """Scatter-free overflow: the sorted-COO segment-sum recast as a
+    binary-incidence block matmul on the MXU (round 4).
+
+    The overflow's ``out[r] += val_e * x[col_e]`` is ``out += S @ V`` where
+    ``V[e] = val_e * x[col_e]`` (a gather, fast class via ops/gatherpad) and
+    ``S`` is the [R_pad x E_pad] 0/1 row-incidence.  Because overflow edges
+    are sorted by row, consecutive 128-edge chunks touch only a handful of
+    rows: padding each 128-row block's edges to whole chunks makes every
+    ``S`` tile live in one row block, which is exactly the layout the
+    block-tier Pallas kernel (ops/block._dense_call) consumes — ``bcols``
+    is the identity (chunk j reads V block j).  Measured v5e: the XLA
+    scatter-add costs ~17-19 ns/edge with no fast size class (probed
+    500K-850K); this path costs the V gather (~6-8 ns) + ~1 ns of matmul.
+
+    Fields mirror ``BlockDense`` (duck-typed into ``_dense_call``) plus the
+    padded-slot edge arrays.  ``a`` is BINARY — per-edge values stay in
+    ``vals2`` so :meth:`HybridAdj.binarized` / :meth:`mask_in_batch` remain
+    cheap elementwise rewrites; ``with_scaled_values`` (per-slot rewrites in
+    forward-ELL order, GAT only) drops the incidence instead."""
+
+    a: jnp.ndarray  # [NC_pad, B, B] 0/1 tiles
+    brow_step: jnp.ndarray  # [S] int32 output row-block per grid step
+    bcols: jnp.ndarray  # [lanes, S] int32 V block per lane (identity layout)
+    cols2: jnp.ndarray  # [NC_pad*B] int32 edge source; pad -> 0
+    vals2: jnp.ndarray  # [NC_pad*B] float edge value; pad -> 0
+    rows2: jnp.ndarray  # [NC_pad*B] int32 edge row; pad -> R_pad-1
+
+
 class HybridAdj(NamedTuple):
     """ELL core + COO overflow (both statically shaped).
 
@@ -39,6 +68,7 @@ class HybridAdj(NamedTuple):
     ovf_cols: jnp.ndarray  # [O_pad] int32; padding -> trash col
     ovf_vals: jnp.ndarray  # [O_pad] float32; padding -> 0
     deg: jnp.ndarray  # [R_pad] float32 true degrees
+    ovf_inc: Optional[OvfIncidence] = None  # big-overflow MXU path
 
     @property
     def num_rows(self) -> int:
@@ -48,13 +78,32 @@ class HybridAdj(NamedTuple):
         # preserves the values dtype: the global-column refresh pre-casts
         # values to the cache-table dtype so bf16 aggregations stay uniform
         # (mixed bf16 x / f32 vals is the measured 0.64x path, RESULTS.md)
+        inc = self.ovf_inc
+        if inc is not None:
+            inc = inc._replace(vals2=(inc.vals2 != 0).astype(inc.vals2.dtype))
         return self._replace(
             ell_vals=(self.ell_vals != 0).astype(self.ell_vals.dtype),
             ovf_vals=(self.ovf_vals != 0).astype(self.ovf_vals.dtype),
+            ovf_inc=inc,
         )
 
+    def cast_values(self, dtype) -> "HybridAdj":
+        """Cast every value-carrying array (incl. the incidence tiles) —
+        the single dtype-budget knob callers should use."""
+        inc = self.ovf_inc
+        if inc is not None:
+            inc = inc._replace(a=inc.a.astype(dtype),
+                               vals2=inc.vals2.astype(dtype))
+        return self._replace(ell_vals=self.ell_vals.astype(dtype),
+                             ovf_vals=self.ovf_vals.astype(dtype),
+                             ovf_inc=inc)
+
     def with_scaled_values(self, keep_ell, keep_ovf):
-        return self._replace(ell_vals=keep_ell, ovf_vals=keep_ovf)
+        # per-slot value rewrite in forward layout (GAT attention): the
+        # incidence's vals2 cannot be rewritten without a slot gather —
+        # drop it; the scatter path is semantically identical
+        return self._replace(ell_vals=keep_ell, ovf_vals=keep_ovf,
+                             ovf_inc=None)
 
     def mask_in_batch(self, batch_size) -> "HybridAdj":
         """Keep only edges with in-batch sources (< batch_size) — the IB-only
@@ -67,10 +116,31 @@ class HybridAdj(NamedTuple):
                 keep_o.astype(jnp.float32), self.ovf_rows,
                 num_segments=self.num_rows, indices_are_sorted=True,
             )
+        inc = self.ovf_inc
+        if inc is not None:
+            keep2 = inc.cols2 < batch_size
+            inc = inc._replace(vals2=jnp.where(keep2, inc.vals2, 0.0))
         return self._replace(
             ell_vals=jnp.where(keep_e, self.ell_vals, 0.0),
             ovf_vals=jnp.where(keep_o, self.ovf_vals, 0.0),
             deg=deg,
+            ovf_inc=inc,
+        )
+
+    def mask_rows(self, batch_size) -> "HybridAdj":
+        """Zero every edge whose ROW id >= batch_size (the transpose-side
+        IB mask used by the bi pairs' ``mask_in_batch``); ``deg`` is left
+        untouched (the bi backward never reads the transpose's deg)."""
+        row_keep = (jnp.arange(self.num_rows) < batch_size)[:, None]
+        inc = self.ovf_inc
+        if inc is not None:
+            inc = inc._replace(
+                vals2=jnp.where(inc.rows2 < batch_size, inc.vals2, 0.0))
+        return self._replace(
+            ell_vals=jnp.where(row_keep, self.ell_vals, 0.0),
+            ovf_vals=jnp.where(
+                jnp.take(row_keep[:, 0], self.ovf_rows), self.ovf_vals, 0.0),
+            ovf_inc=inc,
         )
 
 
@@ -158,9 +228,20 @@ def build_hybrid_adj(
     k: Optional[int] = None,
     ovf_pad: Optional[int] = None,
     trash_col: Optional[int] = None,
+    ovf_inc: Optional[bool] = None,
+    ovf_inc_pad: Optional[int] = None,
 ) -> HybridAdj:
-    """Host-side conversion CSR -> hybrid ELL/COO with static shapes."""
+    """Host-side conversion CSR -> hybrid ELL/COO with static shapes.
+
+    ``ovf_inc``: build the scatter-free overflow-incidence structure
+    (None = auto: only for one-off builds — ``ovf_pad is None`` — with an
+    overflow slot count >= INCAGG_OVF_INC_MIN; loader-bucketed builds pass
+    a static ``ovf_pad`` and must opt in with ``ovf_inc=True`` +
+    ``ovf_inc_pad`` to keep pytree shapes stable across batches)."""
     from incagg_gnn_tpu.utils.native import get_native_lib
+
+    if ovf_inc is None and ovf_pad is not None:
+        ovf_inc = False
 
     r = int(rowptr.shape[0] - 1)
     deg = np.diff(rowptr).astype(np.int64)
@@ -183,6 +264,11 @@ def build_hybrid_adj(
         ell_cols, ell_vals, orows, ocols, ovals, o = res
         deg_full = np.zeros(num_rows_pad, dtype=np.float32)
         deg_full[:r] = deg
+        inc = None
+        if ovf_inc is True or (ovf_inc is None
+                               and orows.shape[0] >= _OVF_INC_MIN):
+            inc = build_ovf_incidence(orows, ocols, ovals, num_rows_pad,
+                                      nc_pad=ovf_inc_pad)
         return HybridAdj(
             ell_cols=jnp.asarray(ell_cols),
             ell_vals=jnp.asarray(ell_vals),
@@ -190,6 +276,7 @@ def build_hybrid_adj(
             ovf_cols=jnp.asarray(ocols),
             ovf_vals=jnp.asarray(ovals),
             deg=jnp.asarray(deg_full),
+            ovf_inc=inc,
         )
     else:
         ell_cols = np.full((num_rows_pad, k), trash_col, dtype=np.int32)
@@ -222,6 +309,11 @@ def build_hybrid_adj(
 
     deg_full = np.zeros(num_rows_pad, dtype=np.float32)
     deg_full[:r] = deg
+    inc = None
+    if ovf_inc is True or (ovf_inc is None
+                           and orows.shape[0] >= _OVF_INC_MIN):
+        inc = build_ovf_incidence(orows, ocols, ovals, num_rows_pad,
+                                  nc_pad=ovf_inc_pad)
     return HybridAdj(
         ell_cols=jnp.asarray(ell_cols),
         ell_vals=jnp.asarray(ell_vals),
@@ -229,6 +321,7 @@ def build_hybrid_adj(
         ovf_cols=jnp.asarray(ocols),
         ovf_vals=jnp.asarray(ovals),
         deg=jnp.asarray(deg_full),
+        ovf_inc=inc,
     )
 
 
@@ -276,6 +369,27 @@ def _chunked_rows(per_chunk, ell_cols, ell_vals, x):
                        r, k * d * x.dtype.itemsize, ell_cols, ell_vals)
 
 
+def _ell_padded_gather(x, cols, vals, rr, k, d):
+    """Gather [rr*k] x-rows with the count padded into the gather emitter's
+    fast class (ops/gatherpad).  The pad is a whole number of K-rows with
+    zero vals, so callers reduce over K *first* and slice the few pad rows
+    off the [rr_pad, D] result — the big [count, D] intermediate is
+    consumed unsliced (a [count, D] slice measured 5.8 ms/direction at the
+    reddit shape before this)."""
+    from incagg_gnn_tpu.ops.gatherpad import fast_gather_len
+
+    n = rr * k
+    npad = fast_gather_len(n, int(x.shape[0]), d, x.dtype, multiple_of=k)
+    flat = cols.reshape(-1)
+    if npad > n:
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((npad - n,), flat.dtype)])
+        vals = jnp.concatenate(
+            [vals, jnp.zeros((npad // k - rr, k), vals.dtype)])
+    g = jnp.take(x, flat, axis=0).reshape(-1, k, d)
+    return g, vals
+
+
 def _ell_sum(ell_cols: jnp.ndarray, ell_vals: jnp.ndarray,
              x: jnp.ndarray) -> jnp.ndarray:
     """(x[ell_cols] * ell_vals).sum(axis=1), row-chunked under the budget."""
@@ -283,19 +397,119 @@ def _ell_sum(ell_cols: jnp.ndarray, ell_vals: jnp.ndarray,
     d = x.shape[1]
 
     def dense(cols, vals, rr):
-        g = jnp.take(x, cols.reshape(-1), axis=0).reshape(rr, k, d)
-        return (g * vals[..., None]).sum(axis=1)
+        g, v = _ell_padded_gather(x, cols, vals, rr, k, d)
+        return (g * v[..., None]).sum(axis=1)[:rr]
 
     return _chunked_rows(dense, ell_cols, ell_vals, x)
+
+
+#: overflow edge count above which the incidence-matmul path is built by
+#: default (below it the scatter's fixed ~17 ns/edge never adds up to the
+#: incidence tiles' memory + build cost)
+_OVF_INC_MIN = int(os.environ.get("INCAGG_OVF_INC_MIN", "131072"))
+_OVF_INC_LANES = int(os.environ.get("INCAGG_OVF_INC_LANES", "4"))
+_B = 128  # MXU tile edge (ops.block.B; kept literal to avoid the circular
+# import — ops/block.py imports this module)
+
+
+def build_ovf_incidence(ovf_rows: np.ndarray, ovf_cols: np.ndarray,
+                        ovf_vals: np.ndarray, num_rows_pad: int,
+                        lanes: int = None,
+                        nc_pad: Optional[int] = None) -> OvfIncidence:
+    """Host-side build of the scatter-free overflow structure (see
+    :class:`OvfIncidence`).  ``ovf_rows`` must be sorted ascending (the
+    hybrid build invariant); trailing padding rows (== num_rows_pad-1 with
+    val 0) are fine — they land in the last row block like any edge.
+    ``nc_pad`` fixes the padded chunk count for static loader buckets."""
+    lanes = _OVF_INC_LANES if lanes is None else lanes
+    o = int(ovf_rows.shape[0])
+    nrb = num_rows_pad // _B
+    rb = ovf_rows.astype(np.int64) // _B  # sorted
+    counts = np.bincount(rb, minlength=nrb)
+    # chunks per row block: >=1 (kernel output coverage), padded to lanes
+    runs = np.maximum(-(-counts // _B), 1)
+    runs_pad = ((runs + lanes - 1) // lanes) * lanes
+    total = int(runs_pad.sum())
+    if nc_pad is None:
+        nc_pad = total
+    else:
+        assert nc_pad >= total and nc_pad % lanes == 0, (nc_pad, total)
+    starts_pad = np.concatenate([[0], np.cumsum(runs_pad)])[:-1]
+    brow_flat = np.full(nc_pad, nrb - 1, dtype=np.int32)
+    brow_flat[:total] = np.repeat(np.arange(nrb, dtype=np.int32), runs_pad)
+
+    # slot of each edge: chunk = rb's chunk range + within//B
+    grp_start = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    within = np.arange(o, dtype=np.int64) - grp_start[rb]
+    chunk = starts_pad[rb] + within // _B
+    pos = within % _B
+
+    a = np.zeros((nc_pad, _B, _B), dtype=np.float32)
+    # duplicate (chunk, r_local, pos) slots cannot occur (pos unique per
+    # chunk), so plain assignment suffices
+    a[chunk, ovf_rows.astype(np.int64) % _B, pos] = 1.0
+    cols2 = np.zeros(nc_pad * _B, dtype=np.int32)
+    vals2 = np.zeros(nc_pad * _B, dtype=np.float32)
+    rows2 = np.full(nc_pad * _B, num_rows_pad - 1, dtype=np.int32)
+    slot = chunk * _B + pos
+    cols2[slot] = ovf_cols
+    vals2[slot] = ovf_vals if ovf_vals is not None else 1.0
+    rows2[slot] = ovf_rows
+    s = nc_pad // lanes
+    bcols = np.arange(nc_pad, dtype=np.int32).reshape(s, lanes).T.copy()
+    return OvfIncidence(
+        a=jnp.asarray(a),
+        brow_step=jnp.asarray(brow_flat[::lanes].copy()),
+        bcols=jnp.asarray(bcols),
+        cols2=jnp.asarray(cols2),
+        vals2=jnp.asarray(vals2),
+        rows2=jnp.asarray(rows2),
+    )
+
+
+def _ovf_padded(adj: HybridAdj, x: jnp.ndarray):
+    """Overflow triple with the edge count padded into the gather fast
+    class: pad cols with trash index 0 / vals 0 / rows with the trash row
+    (num_rows-1, keeps ``indices_are_sorted``) — zero contribution, and no
+    [count, D] output slice is needed anywhere."""
+    from incagg_gnn_tpu.ops.gatherpad import fast_gather_len
+
+    n = int(adj.ovf_cols.shape[0])
+    npad = fast_gather_len(n, int(x.shape[0]), int(x.shape[1]), x.dtype)
+    cols, vals, rows = adj.ovf_cols, adj.ovf_vals, adj.ovf_rows
+    if npad > n:
+        pad = npad - n
+        cols = jnp.concatenate([cols, jnp.zeros((pad,), cols.dtype)])
+        vals = jnp.concatenate([vals, jnp.zeros((pad,), vals.dtype)])
+        rows = jnp.concatenate(
+            [rows, jnp.full((pad,), adj.num_rows - 1, rows.dtype)])
+    return cols, vals, rows
 
 
 def spmm_hybrid(adj: HybridAdj, x: jnp.ndarray) -> jnp.ndarray:
     """Weighted-sum aggregation, scatter-free on the ELL core."""
     out = _ell_sum(adj.ell_cols, adj.ell_vals, x)
+    if adj.ovf_inc is not None:
+        from incagg_gnn_tpu.ops.block import _dense_call
+        from incagg_gnn_tpu.ops.gatherpad import fast_gather_len
+
+        inc = adj.ovf_inc
+        n = int(inc.cols2.shape[0])
+        cols2, vals2 = inc.cols2, inc.vals2
+        npad = fast_gather_len(n, int(x.shape[0]), int(x.shape[1]), x.dtype,
+                               multiple_of=_B)
+        if npad > n:
+            cols2 = jnp.concatenate(
+                [cols2, jnp.zeros((npad - n,), cols2.dtype)])
+            vals2 = jnp.concatenate(
+                [vals2, jnp.zeros((npad - n,), vals2.dtype)])
+        v = jnp.take(x, cols2, axis=0) * vals2[:, None]
+        return out + _dense_call(inc, v, adj.num_rows).astype(x.dtype)
     if adj.ovf_rows.shape[0] > 0:
-        go = jnp.take(x, adj.ovf_cols, axis=0) * adj.ovf_vals[:, None]
+        cols, vals, rows = _ovf_padded(adj, x)
+        go = jnp.take(x, cols, axis=0) * vals[:, None]
         out = out + jax.ops.segment_sum(
-            go, adj.ovf_rows, num_segments=adj.num_rows, indices_are_sorted=True
+            go, rows, num_segments=adj.num_rows, indices_are_sorted=True
         )
     return out
 
@@ -337,13 +551,7 @@ class BiHybridAdj(NamedTuple):
         """IB-only ablation on both directions: forward drops cols >= bs,
         the transpose drops the corresponding ROWS >= bs."""
         fwd = self.fwd.mask_in_batch(batch_size)
-        row_keep = (jnp.arange(self.bwd.num_rows) < batch_size)[:, None]
-        bwd = self.bwd._replace(
-            ell_vals=jnp.where(row_keep, self.bwd.ell_vals, 0.0),
-            ovf_vals=jnp.where(
-                jnp.take(row_keep[:, 0], self.bwd.ovf_rows), self.bwd.ovf_vals, 0.0
-            ),
-        )
+        bwd = self.bwd.mask_rows(batch_size)
         return BiHybridAdj(fwd, bwd, self.t2f)
 
 
@@ -425,6 +633,10 @@ def build_bi_hybrid_adj(
                                k_fwd=k_fwd, fwd_ovf_base=fwd_ovf_base,
                                with_perm=with_perm)
         ell_cols, ell_vals, orows, ocols, ovals, o, t2f = res
+        inc = None
+        if ovf_pad_t is None and orows.shape[0] >= _OVF_INC_MIN \
+                and not with_perm:
+            inc = build_ovf_incidence(orows, ocols, ovals, num_cols_pad)
         bwd = HybridAdj(
             ell_cols=jnp.asarray(ell_cols),
             ell_vals=jnp.asarray(ell_vals),
@@ -432,6 +644,7 @@ def build_bi_hybrid_adj(
             ovf_cols=jnp.asarray(ocols),
             ovf_vals=jnp.asarray(ovals),
             deg=jnp.asarray(t_deg.astype(np.float32)),
+            ovf_inc=inc,
         )
         return BiHybridAdj(fwd=fwd, bwd=bwd,
                            t2f=jnp.asarray(t2f) if t2f is not None else None)
@@ -502,8 +715,8 @@ def _ell_max(ell_cols: jnp.ndarray, ell_vals: jnp.ndarray,
     neg = jnp.finfo(x.dtype).min
 
     def dense(cols, vals, rr):
-        g = jnp.take(x, cols.reshape(-1), axis=0).reshape(rr, k, d)
-        return jnp.where((vals != 0)[..., None], g, neg).max(axis=1)
+        g, v = _ell_padded_gather(x, cols, vals, rr, k, d)
+        return jnp.where((v != 0)[..., None], g, neg).max(axis=1)[:rr]
 
     return _chunked_rows(dense, ell_cols, ell_vals, x)
 

@@ -1,0 +1,63 @@
+"""On-chip trace of the bench train-step chain (fwd + transpose bwd + update)
+at one of the three bench shapes.  VERDICT r3 #1: every train row is <=0.52x
+its tier roofline; find the dominating term.
+
+Usage: python _train_trace.py [shape] [outdir]
+  shape in {arxiv, products, reddit}
+"""
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+SHAPES = {
+    "arxiv": ("arxiv", 100_000, 14.0, "hybrid", "f32", 80, 16),
+    "products": ("products", 100_000, 50.0, "block", "bf16", 80, 16),
+    "reddit": ("reddit", 233_000, 100.0, "block", "bf16", 200, 41),
+}
+
+
+def main():
+    shape = sys.argv[1] if len(sys.argv) > 1 else "reddit"
+    outdir = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/train_trace_{shape}"
+    name, n, deg, fmt, dtype_s, parts, classes = SHAPES[shape]
+
+    import bench
+    jax = bench._setup_jax()
+
+    ops, fn, fmt, e, x = bench._build(name, n, deg, fmt, dtype_s, parts,
+                                      classes, "train")
+    print(f"# {name}: fmt={fmt} edges={e}", file=sys.stderr)
+
+    iters = 10
+
+    def step(h, o):
+        out, vjp = jax.vjp(lambda v: fn(o, v), h)
+        (g,) = vjp(out)
+        return (h - 1e-3 * g.astype(h.dtype)).astype(h.dtype)
+
+    @jax.jit
+    def run(x, ops):
+        def body(h, _):
+            return step(h, ops), None
+        h, _ = jax.lax.scan(body, x, None, length=iters)
+        return h.sum()
+
+    # warm
+    float(run(x, ops))
+    float(run(x, ops))
+    t0 = time.perf_counter()
+    float(run(x, ops))
+    dt = time.perf_counter() - t0
+    print(f"# wall {dt*1e3:.1f} ms for {iters} iters -> "
+          f"{e/(dt/iters)/1e6:.1f}M e/s", file=sys.stderr)
+
+    with jax.profiler.trace(outdir):
+        float(run(x, ops))
+    print(outdir)
+
+
+if __name__ == "__main__":
+    main()
