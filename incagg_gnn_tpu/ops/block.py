@@ -229,6 +229,7 @@ def build_block_hybrid(
     ovf_pad: Optional[int] = None,
     nb_pad: Optional[int] = None,
     trash_col: Optional[int] = None,
+    ovf_inc: Optional[bool] = False,
 ) -> BlockHybridAdj:
     """Host-side conversion CSR -> dense tiles + hybrid remainder.
 
@@ -332,8 +333,13 @@ def build_block_hybrid(
     s = nb_pad // LANES
     brow_step = brow_flat[::LANES].copy()
     bcols = bcol_flat.reshape(s, LANES).T.copy()
+    # r4 measured: the overflow-incidence path wins in TRAIN programs
+    # (XLA's in-context scatter costs ~19 ns/edge there vs ~10 in fwd-only
+    # programs, docs/RESULTS.md) — fwd/refresh builds default to the
+    # scatter; the bi builder opts its two directions in.
     rem = build_hybrid_adj(rp, r_col, r_val, num_rows_pad, num_cols_pad,
-                           k=k, ovf_pad=ovf_pad, trash_col=trash_col)
+                           k=k, ovf_pad=ovf_pad, trash_col=trash_col,
+                           ovf_inc=ovf_inc)
 
     deg_full = np.zeros(num_rows_pad, dtype=np.float32)
     deg_full[:r] = deg
@@ -624,8 +630,10 @@ def build_bi_block_hybrid(
         k_t = choose_k(rem_deg_t, locality_kink=False)
     fwd = build_block_hybrid(rowptr, col, value, num_rows_pad, num_cols_pad,
                              thresh, a_dtype=a_dtype, k=k, ovf_pad=ovf_pad,
-                             nb_pad=nb_pad)
+                             nb_pad=nb_pad,
+                             ovf_inc=None if ovf_pad is None else False)
     bwd = build_block_hybrid(t_rowptr, t_col, t_val, num_cols_pad,
                              num_rows_pad, thresh, a_dtype=a_dtype, k=k_t,
-                             ovf_pad=ovf_pad_t, nb_pad=nb_pad_t)
+                             ovf_pad=ovf_pad_t, nb_pad=nb_pad_t,
+                             ovf_inc=None if ovf_pad_t is None else False)
     return BiBlockHybridAdj(fwd=fwd, bwd=bwd)

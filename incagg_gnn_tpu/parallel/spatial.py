@@ -123,6 +123,67 @@ def _make_exchange(halo, axis, wire: str = "dense"):
     return exchange
 
 
+def _make_exchange_vjp(halo, axis, wire: str = "dense"):
+    """Differentiable halo exchange whose backward is the TRANSPOSED
+    exchange over the same wire (VERDICT r3 #7).
+
+    In GAS training no gradient actually flows through the halo (history
+    pulls are stop_gradient, models/base.py push_and_pull — the reference's
+    no_grad semantics, base.py:433), so the forward wire choice is free.
+    This wrapper nevertheless defines the exact VJP so any future
+    fresh-activation halo differentiates correctly on either wire:
+
+    - cotangents on assembled OB rows scatter back into the [nd*H, D]
+      receive layout (``remote_pos`` transpose),
+    - travel back to their owners over the transposed collective — plain
+      ``all_to_all`` is its own transpose in this symmetric chunk layout;
+      ``ragged_all_to_all`` transposes by swapping send/recv sizes (the
+      padding slots stay zero, so the trailing scatter adds nothing),
+    - and scatter-add into the local slab rows (``send_idx`` + ``local_pos``
+      transposes).
+
+    The transpose math is grad-checked against XLA autodiff of the dense
+    forward on the virtual CPU mesh (tests/test_multichip.py); the ragged
+    backward is the same code path with swapped metadata.
+    """
+    nd, h = halo.send_idx.shape
+
+    @jax.custom_vjp
+    def exchange(src_local):
+        return _halo_assemble(
+            halo, src_local, _halo_collect(halo, axis, src_local, wire))
+
+    def fwd(src_local):
+        # residuals must be JAX types: shape as ints; dtype comes from g
+        return exchange(src_local), src_local.shape
+
+    def bwd(shape, g):
+        dtype = g.dtype
+        g_local = jnp.where(halo.is_local[:, None], g, 0)
+        d_src = jnp.zeros(shape, dtype).at[halo.local_pos].add(g_local)
+        g_remote = jnp.where(halo.is_local[:, None], 0, g)
+        d_recv = jnp.zeros((nd * h, shape[1]), dtype).at[
+            halo.remote_pos].add(g_remote)
+        if wire == "ragged":
+            me = jax.lax.axis_index(axis)
+            offs = jnp.arange(nd, dtype=jnp.int32) * h
+            d_send = jax.lax.ragged_all_to_all(
+                d_recv, jnp.zeros_like(d_recv), offs, halo.recv_sizes,
+                jnp.full((nd,), me * h, jnp.int32), halo.send_sizes,
+                axis_name=axis)
+        elif wire == "loopback":
+            d_send = d_recv
+        else:
+            d_send = jax.lax.all_to_all(
+                d_recv.reshape(nd, h, shape[1]), axis,
+                split_axis=0, concat_axis=0).reshape(nd * h, shape[1])
+        d_src = d_src.at[halo.send_idx.reshape(-1)].add(d_send)
+        return (d_src,)
+
+    exchange.defvjp(fwd, bwd)
+    return exchange
+
+
 @dataclasses.dataclass
 class _DevBatch:
     """Host-side per-device batch in slab row space."""
@@ -767,12 +828,13 @@ class ShardedVRTrainer:
             batch = jax.tree.map(lambda a: a[0] if a.ndim > 0 else a, batch)
             halo = jax.tree.map(lambda a: a[0], halo)
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
-            # train halos keep the dense wire (grads flow through the
-            # exchange; ragged_all_to_all has no transpose rule) — only the
-            # benchmark-only loopback override applies here
-            exchange = _make_exchange(
-                halo, axis,
-                "loopback" if self.halo_wire == "loopback" else "dense")
+            # r4: train halos use the SAME wire policy as refresh (ragged
+            # exact-payload on TPU meshes).  No gradient flows through the
+            # exchange (history pulls are stop_gradient), and the
+            # _make_exchange_vjp transpose covers any future path that does
+            # differentiate through it — the old "no transpose rule" dense
+            # pin was unnecessary (VERDICT r3 #7).
+            exchange = _make_exchange_vjp(halo, axis, self.halo_wire)
             x = exchange(x_tab)
             y = jnp.take(y_tab, batch.push_idx, axis=0)
             mask = jnp.take(tm_tab, batch.push_idx, axis=0)

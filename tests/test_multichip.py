@@ -471,3 +471,68 @@ class TestShardedSpill:
         tr2.restore_checkpoint(load_pytree(p, tr2.checkpoint_state()))
         assert np.allclose(tr2.host_emb[1], tr.host_emb[1], atol=1e-6)
         assert abs(tr2.evaluate()["test_acc"] - acc["test_acc"]) < 1e-6
+
+
+class TestHaloExchangeVJP:
+    """_make_exchange_vjp (VERDICT r3 #7): the custom backward — transposed
+    assemble + transposed collective + send-side scatter — must equal XLA
+    autodiff of the plain dense exchange on the virtual mesh.  The ragged
+    wire runs the identical code path with swapped send/recv metadata
+    (TPU-only lowering), so this pins the transpose math for both."""
+
+    def test_custom_vjp_matches_autodiff_dense(self, sbm_small):
+        from functools import partial
+
+        from jax.sharding import PartitionSpec as P
+
+        from incagg_gnn_tpu.parallel.spatial import (_make_exchange,
+                                                     _make_exchange_vjp)
+
+        data, in_c, out_c = sbm_small
+        cfg = GCNConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                        hidden_channels=16, out_channels=out_c, num_layers=2,
+                        dropout=0.0, drop_input=False)
+        tcfg = TrainerConfig(num_parts=16, batch_size=1, vr_update=False,
+                             seed=0, epochs=1)
+        tr = ShardedVRTrainer(GCN(cfg), data, tcfg, mesh=make_mesh(8))
+        nd, slab, axis = tr.n_dev, tr.layout.slab, tr.axis
+        rng = np.random.default_rng(0)
+        halo = tr._halo_plans[0]
+        c_pad = halo.is_local.shape[1]
+        src = jax.numpy.asarray(
+            rng.normal(size=(nd, slab + 1, 4)).astype(np.float32))
+        w = jax.numpy.asarray(
+            rng.normal(size=(nd, c_pad, 4)).astype(np.float32))
+        halo_spec = jax.tree.map(lambda _: P(axis), halo)
+
+        def make_loss(make_ex):
+            @partial(jax.shard_map, mesh=tr.mesh,
+                     in_specs=(P(axis), P(axis), halo_spec),
+                     out_specs=P())
+            def loss(src, w, halo):
+                halo = jax.tree.map(lambda a: a[0], halo)
+                ex = make_ex(halo, axis, "dense")
+                val = (ex(src[0]) * w[0]).sum()
+                return jax.lax.psum(val, axis)[None]
+
+            return lambda s: loss(s, w, halo).sum()
+
+        g_auto = jax.grad(make_loss(_make_exchange))(src)
+        g_custom = jax.grad(make_loss(_make_exchange_vjp))(src)
+        np.testing.assert_allclose(np.asarray(g_auto), np.asarray(g_custom),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_gas_train_wire_follows_policy(self, sbm_small):
+        """Train halos now ride the same wire policy as refresh (ragged on
+        TPU meshes; no gradient flows through the exchange — history pulls
+        are stop_gradient) — pin that GAS sharded training still learns on
+        this backend's dense resolution."""
+        data, in_c, out_c = sbm_small
+        cfg = GCNConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                        hidden_channels=16, out_channels=out_c, num_layers=2,
+                        dropout=0.0, drop_input=False)
+        tcfg = TrainerConfig(num_parts=16, batch_size=2, vr_update=False,
+                             seed=0, epochs=4, lr=0.02)
+        tr = ShardedVRTrainer(GCN(cfg), data, tcfg, mesh=make_mesh(4))
+        res = tr.fit()
+        assert res["best_test"] > 0.5
