@@ -163,6 +163,10 @@ class ScalableGNN:
     #: exchange_fn: [slab, D] -> [C_pad, D]
     _shard_halo = None
 
+    #: slab row count (incl. trash row) for the sharded-GAS-SPILL fresh-push
+    #: exchange (set together with _shard_halo + _stream_pulled)
+    _spill_slab_rows = None
+
     #: when set (by the spill GAS trainer during tracing), push_and_pull
     #: reads pulled OB rows from this pre-staged ``[L, C_pad, hist_dim]``
     #: stack (host tables gathered before the step, the reference's
@@ -197,6 +201,24 @@ class ScalableGNN:
             hist_emb = tup_set(
                 hist_emb, slot, pushed.astype(hist_emb[slot].dtype))
             pulled = self._stream_pulled[slot][:, :d].astype(h.dtype)
+            if self._shard_halo is not None:
+                # sharded GAS spill (r4): the pre-staged host rows are one
+                # round stale for OB rows whose OWNER pushed them THIS round
+                # over on its own shard.  Exact HBM parity: scatter this
+                # device's fresh pushes (+ a validity flag column) into a
+                # slab-shaped buffer, halo-exchange it, and splice fresh
+                # rows over the staged ones where the flag says the owner
+                # pushed.  (The HBM path's exchange reads its slab AFTER
+                # the lockstep push — this reproduces it bit-for-bit.)
+                slab_rows = self._spill_slab_rows  # slab+1 (set by trainer)
+                src = jnp.zeros((slab_rows, d + 1), h.dtype)
+                payload = jax.lax.stop_gradient(jnp.concatenate(
+                    [jnp.where(valid, h[:, :d], 0.0),
+                     valid.astype(h.dtype)], axis=1))
+                src = src.at[batch.push_idx].set(payload)
+                ex = self._shard_halo(src)
+                fresh, flag = ex[:, :d], ex[:, d:] != 0
+                pulled = jnp.where(flag, fresh, pulled)
             ib = (jnp.arange(c_pad) < batch.batch_size)[:, None]
             x = jnp.where(ib, pad_rows(h, c_pad), pulled)
             return x, hist_emb

@@ -9,15 +9,24 @@ bytes vs per-chip HBM).  Reference counterpart: the pinned-CPU histories +
 AsyncIOPool that are the reference's only operating mode
 (history.py:17-18, pool.py:15-123), here per mesh shard.
 
-Residency model (VR/Reverb mode):
+Residency model:
 
 - the per-layer ``M_in``/``M_ag`` tables live in HOST memory in slab row
   layout (``[n_dev * slab, D]`` numpy, cache dtype);
-- **training** needs only the batch rows of every layer's tables
+- **VR training** needs only the batch rows of every layer's tables
   (IB-local pulls): each round stages ``[n_dev, L, R_pad, D]`` pull
   stacks (host gather → ``device_put`` sharded over the mesh axis) and
   feeds them to the shard-mapped step as :class:`StreamedPulls` — VR
   training never writes the caches, so nothing returns;
+- **GAS training** (r4, VERDICT r3 #6): per round each device's IB+OB
+  batch rows are staged ``[n_dev, L, C_pad, D]`` from the host tables;
+  same-round cross-shard freshness (the HBM path's lockstep
+  push-then-exchange) is reproduced EXACTLY by halo-exchanging this
+  round's fresh pushes with a validity flag column and splicing them over
+  the staged rows (models/base.py push_and_pull, combined
+  ``_stream_pulled`` + ``_shard_halo`` branch); IB pushes return as
+  row-aligned accumulators and are written back chunk-contiguously
+  (reference pool.py:101-123 write-back semantics);
 - **refresh** runs the STANDARD sharded halo refresh
   (``_make_refresh_layer`` — static all_to_all HaloPlans, pipelined
   exchange) one layer at a time over a *synthetic* HistoryState: only the
@@ -48,10 +57,6 @@ class ShardedSpillVRTrainer(ShardedVRTrainer):
 
     def __init__(self, model, data, cfg: TrainerConfig, mesh=None,
                  n_devices: Optional[int] = None, log: bool = False):
-        assert cfg.vr_update, (
-            "ShardedSpillVRTrainer is Reverb/VR-only (IB-local pulls make "
-            "per-round staging exact); use the GSPMD-mesh Trainer or the "
-            "single-chip SpillVRTrainer for GAS-mode spilling")
         super().__init__(model, data, cfg, mesh=mesh, n_devices=n_devices,
                          log=log)
         from incagg_gnn_tpu.history import resolve_dtype
@@ -117,9 +122,162 @@ class ShardedSpillVRTrainer(ShardedVRTrainer):
         return StreamedPulls(m_in=jax.device_put(jnp.asarray(m_in), sh),
                              m_ag=jax.device_put(jnp.asarray(m_ag), sh))
 
+    # ------------------------------------------------------------------
+    # GAS mode (r4, VERDICT r3 #6 — the last {GAS,VR}x{HBM,spill}x
+    # {1-chip,sharded} cube cell): host tables hold the caches; per round
+    # each device's batch rows (IB+OB, global row space) are host-gathered
+    # into a [n_dev, L, C_pad, D] pull stack, and EXACT HBM parity for
+    # same-round cross-shard freshness comes from the fresh-push halo
+    # exchange spliced inside push_and_pull (models/base.py: the
+    # _stream_pulled + _shard_halo combined branch).  IB pushes return as
+    # row-aligned accumulators and are written back chunk-contiguously
+    # (reference pool.py:101-123 write_async semantics).
+    # ------------------------------------------------------------------
+    def _make_spill_gas_step(self):
+        from incagg_gnn_tpu.parallel.spatial import _make_exchange_vjp
+        from incagg_gnn_tpu.train.steps import masked_loss
+
+        model, cfg, axis = self.model, self.cfg, self.axis
+        L, D = model.cfg.num_layers, model.hist_dim
+        slab_rows = self.layout.slab  # incl. the trailing trash row
+        pushed_slots: set = set()
+
+        def local_step(params, opt_state, state, pulled, batch, halo, x_tab,
+                       y_tab, tm_tab, rng):
+            batch = jax.tree.map(lambda a: a[0] if a.ndim > 0 else a, batch)
+            halo = jax.tree.map(lambda a: a[0], halo)
+            pulled = pulled[0]  # [L, C_pad, D]
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
+            exchange = _make_exchange_vjp(halo, axis, self.halo_wire)
+            x = exchange(x_tab)
+            y = jnp.take(y_tab, batch.push_idx, axis=0)
+            mask = jnp.take(tm_tab, batch.push_idx, axis=0)
+            mask = mask & (
+                jnp.arange(batch.push_idx.shape[0]) < batch.batch_size)
+            acc0 = tuple(
+                jnp.zeros((batch.push_idx.shape[0], D), jnp.float32)
+                for _ in range(L))
+
+            def loss_fn(p):
+                model._stream_pulled = pulled
+                model._stream_pushed_slots = pushed_slots
+                model._shard_halo = exchange
+                model._spill_slab_rows = slab_rows
+                try:
+                    out, new_state, acc, aux = model.forward_gas(
+                        p, state, x, batch, acc0, rng, True,
+                        cfg.aggregate_combined, cfg.use_aggregation)
+                finally:
+                    model._stream_pulled = None
+                    model._stream_pushed_slots = None
+                    model._shard_halo = None
+                    model._spill_slab_rows = None
+                loss, n = masked_loss(out, y, mask, self.multilabel)
+                return loss, (new_state, acc, n)
+
+            (loss, (new_state, acc, n)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            grads = jax.tree.map(lambda g: g * n, grads)
+            n_tot = jax.lax.psum(n, axis)
+            grads = jax.tree.map(
+                lambda g: jax.lax.psum(g, axis) / jnp.maximum(n_tot, 1.0),
+                grads)
+            loss_tot = jax.lax.psum(loss * n, axis) / jnp.maximum(n_tot, 1.0)
+            new_state = jax.tree.map(
+                lambda a, b: jax.lax.pmean(b, axis), state, new_state)
+            import optax
+
+            updates, new_opt = self.tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            # leading device axis so the stacked output is [nd, R_pad, D]
+            acc = jax.tree.map(lambda t: t[None], acc)
+            return new_params, new_opt, new_state, acc, loss_tot, n_tot
+
+        from jax import shard_map
+
+        P_ = P
+        rep, node, node2 = P_(), P_(self.axis), P_(self.axis, None)
+        batch_spec = jax.tree.map(lambda _: P_(axis), self._train_stacks[0])
+        halo_spec = jax.tree.map(lambda _: P_(axis), self._train_halos[0])
+        acc_spec = tuple(P_(axis) for _ in range(L))
+        y_spec = node if self.y_tab.ndim == 1 else node2
+        smapped = shard_map(
+            local_step, mesh=self.mesh,
+            in_specs=(rep, rep, rep, P_(axis), batch_spec, halo_spec, node2,
+                      y_spec, node, rep),
+            out_specs=(rep, rep, rep, acc_spec, rep, rep),
+        )
+        return jax.jit(smapped, donate_argnums=(0, 1, 2)), pushed_slots
+
+    def _stage_gas_round_pulls(self, round_idx: int) -> jnp.ndarray:
+        """[n_dev, L, C_pad, D] f32: each device's batch rows (global row
+        space n_id, IB+OB) of layers 1..L-1 from the host tables (layer 0
+        reads x_tab on device; slot 0 stays zero)."""
+        L = self.model.cfg.num_layers
+        stack = self._train_stacks[round_idx]
+        n_id = np.asarray(stack.n_id)  # [nd, C_pad] global rows
+        nd, c_pad = n_id.shape
+        out = np.zeros((nd, L, c_pad, self.model.hist_dim), np.float32)
+        for d in range(nd):
+            for l in range(1, L):
+                out[d, l] = self.host_emb[l][n_id[d]]
+        sh = NamedSharding(self.mesh, P(self.axis))
+        return jax.device_put(jnp.asarray(out), sh)
+
+    def _train_epoch_gas_spill(self) -> Dict[str, float]:
+        import time
+
+        if self._spill_step_fn is None:
+            self._spill_step_fn, self._gas_traced_slots = (
+                self._make_spill_gas_step())
+            self._gas_push_slots = None
+        total_loss = total_n = 0.0
+        t0 = time.perf_counter()
+        lay = self.layout
+        # identical round-order shuffle as the HBM GAS epoch (lockstep
+        # equivalence requires the same permutation stream)
+        order = np.random.default_rng(
+            (self.cfg.seed, getattr(self, "_epoch", 0))
+        ).permutation(len(self._train_stacks))
+        self._epoch = getattr(self, "_epoch", 0) + 1
+        for i in order:
+            pulls = self._stage_gas_round_pulls(i)
+            self.rng, key = jax.random.split(self.rng)
+            (self.params, self.opt_state, self.state, acc, loss, n) = (
+                self._spill_step_fn(
+                    self.params, self.opt_state, self.state, pulls,
+                    self._train_stacks[i], self._train_halos[i],
+                    self.x_tab, self.y_tab, self.tm_tab, key))
+            if self._gas_push_slots is None:
+                self._gas_push_slots = sorted(self._gas_traced_slots)
+            # write back each device's fresh IB rows chunk-contiguously
+            stack = self._train_stacks[i]
+            push = np.asarray(stack.push_idx)  # [nd, R_pad] slab-LOCAL
+            bss = np.asarray(stack.batch_size).reshape(-1)
+            for slot in self._gas_push_slots:
+                a = np.asarray(acc[slot])  # [nd, R_pad, D]
+                for d in range(self.n_dev):
+                    bs = int(bss[d])
+                    if bs:
+                        rows = push[d, :bs] + d * lay.slab
+                        self.host_emb[slot][rows] = a[d, :bs].astype(
+                            self._np_dtype)
+            total_loss += float(loss) * float(n)
+            total_n += float(n)
+        dt = time.perf_counter() - t0
+        self._steps_since_refresh = getattr(
+            self, "_steps_since_refresh", 0) + len(self._train_stacks)
+        return {"loss": total_loss / max(total_n, 1.0),
+                "steps": len(self._train_stacks), "epoch_s": dt,
+                "edges_per_s": sum(getattr(self, "_train_round_edges", []))
+                / max(dt, 1e-9),
+                "staleness_steps": self._steps_since_refresh}
+
     def train_epoch(self) -> Dict[str, float]:
         import time
 
+        if not self.vr:
+            return self._train_epoch_gas_spill()
         if self._spill_step_fn is None:
             self._spill_step_fn = self._make_spill_step()
         total_loss = total_n = 0.0

@@ -357,7 +357,8 @@ def _run_once(args, run_cfg, data, in_c, out_c, eval_graphs=None):
             mesh = make_mesh_2d(args.n_hosts, args.n_devices // args.n_hosts)
         # memory-budget gate: when a shard's cache slab would not fit the
         # per-chip HBM budget, fall to the host-DRAM spill composition
-        # (--spill forces it; VR mode only)
+        # (--spill forces it; both modes since r4 — GAS via staged IB+OB
+        # pulls + fresh-push halo splice, VERDICT r3 #6)
         L = int(run_cfg.architecture.get("num_layers", model.cfg.num_layers))
         hist_bytes = (2 * L * (data.num_nodes + args.n_devices)
                       * model.hist_dim
@@ -367,7 +368,7 @@ def _run_once(args, run_cfg, data, in_c, out_c, eval_graphs=None):
         # activations/tables/stacked-batch headroom
         want_spill = (getattr(args, "spill", False)
                       or hist_bytes // args.n_devices > budget)
-        if want_spill and run_cfg.trainer.vr_update:
+        if want_spill:
             from incagg_gnn_tpu.parallel.spill_sharded import (
                 ShardedSpillVRTrainer)
 

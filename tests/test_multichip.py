@@ -536,3 +536,56 @@ class TestHaloExchangeVJP:
         tr = ShardedVRTrainer(GCN(cfg), data, tcfg, mesh=make_mesh(4))
         res = tr.fit()
         assert res["best_test"] > 0.5
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >=4 virtual devices")
+class TestShardedGASSpill:
+    """GAS-mode sharded spill (VERDICT r3 #6 — the last cell of the
+    {GAS,VR}x{HBM,spill}x{1-chip,sharded} cube): host-table caches + staged
+    IB+OB pulls + fresh-push halo splice must match the HBM sharded GAS
+    trainer exactly (same rng, same same-round cross-shard freshness)."""
+
+    def test_gas_spill_matches_hbm(self, sbm_small):
+        from incagg_gnn_tpu.parallel.spill_sharded import ShardedSpillVRTrainer
+
+        data, in_c, out_c = sbm_small
+        cfg = GCNConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                        hidden_channels=16, out_channels=out_c, num_layers=3,
+                        dropout=0.0, drop_input=False)
+        tcfg = TrainerConfig(num_parts=8, batch_size=1, vr_update=False,
+                             seed=0, epochs=1)
+        hbm = ShardedVRTrainer(GCN(cfg), data, tcfg, mesh=make_mesh(4))
+        spl = ShardedSpillVRTrainer(GCN(cfg), data, tcfg, mesh=make_mesh(4))
+        l1 = hbm.fill_history()
+        l2 = spl.fill_history()
+        assert np.allclose(l1, l2, atol=1e-5), np.abs(l1 - l2).max()
+        for _ in range(2):
+            m1 = hbm.train_epoch()
+            m2 = spl.train_epoch()
+            assert abs(m1["loss"] - m2["loss"]) < 1e-4, (m1, m2)
+        # params in lockstep after training
+        p1 = jax.tree.leaves(hbm.params)
+        p2 = jax.tree.leaves(spl.params)
+        for a, b in zip(p1, p2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
+        # caches identical after training write-backs (GAS pushes)
+        for l in range(1, 3):
+            assert np.allclose(np.asarray(hbm.hist.emb[l]),
+                               spl.host_emb[l], atol=1e-4)
+        l1 = hbm.refresh()
+        l2 = spl.refresh()
+        assert np.allclose(l1, l2, atol=2e-4), np.abs(l1 - l2).max()
+
+    def test_gas_spill_learns(self, sbm_small):
+        from incagg_gnn_tpu.parallel.spill_sharded import ShardedSpillVRTrainer
+
+        data, in_c, out_c = sbm_small
+        cfg = GCNConfig(num_nodes=data.num_nodes, in_channels=in_c,
+                        hidden_channels=16, out_channels=out_c, num_layers=2,
+                        dropout=0.0, drop_input=False)
+        tcfg = TrainerConfig(num_parts=8, batch_size=2, vr_update=False,
+                             seed=0, epochs=4, lr=0.02)
+        tr = ShardedSpillVRTrainer(GCN(cfg), data, tcfg, mesh=make_mesh(4))
+        res = tr.fit()
+        assert res["best_test"] > 0.5
