@@ -230,6 +230,8 @@ def build_block_hybrid(
     nb_pad: Optional[int] = None,
     trash_col: Optional[int] = None,
     ovf_inc: Optional[bool] = False,
+    bucket_ext: Optional[bool] = None,
+    bucket_kink: bool = True,
 ) -> BlockHybridAdj:
     """Host-side conversion CSR -> dense tiles + hybrid remainder.
 
@@ -339,7 +341,8 @@ def build_block_hybrid(
     # scatter; the bi builder opts its two directions in.
     rem = build_hybrid_adj(rp, r_col, r_val, num_rows_pad, num_cols_pad,
                            k=k, ovf_pad=ovf_pad, trash_col=trash_col,
-                           ovf_inc=ovf_inc)
+                           ovf_inc=ovf_inc, bucket_ext=bucket_ext,
+                           bucket_kink=bucket_kink)
 
     deg_full = np.zeros(num_rows_pad, dtype=np.float32)
     deg_full[:r] = deg
@@ -616,24 +619,29 @@ def build_bi_block_hybrid(
     # bi remainders size WITHOUT the overflow-locality kink (choose_k):
     # the chained fwd+bwd keeps the gather working set hot, so large
     # overflows stay cheap and extra ELL slots are pure cost (measured:
-    # products bi k=8 131M vs k=16 105M e/s)
-    if k is None:
+    # products bi k=8 131M vs k=16 105M e/s).  One-off builds (no static
+    # pads) leave k=None so build_hybrid_adj's bucketed-ELL level
+    # optimizer (choose_k_levels) can size the remainder instead.
+    one_off = ovf_pad is None and ovf_pad_t is None
+    if k is None and not one_off:
         _, rem_deg = measure_block_tier(rowptr, col, num_rows_pad,
                                         num_cols_pad, thresh)
         k = choose_k(rem_deg, locality_kink=False)
     if transpose is None:
         transpose = transpose_csr_host(rowptr, col, value, num_cols_pad)
     t_rowptr, t_col, t_val = transpose
-    if k_t is None:
+    if k_t is None and not one_off:
         _, rem_deg_t = measure_block_tier(t_rowptr, t_col, num_cols_pad,
                                           num_rows_pad, thresh)
         k_t = choose_k(rem_deg_t, locality_kink=False)
     fwd = build_block_hybrid(rowptr, col, value, num_rows_pad, num_cols_pad,
                              thresh, a_dtype=a_dtype, k=k, ovf_pad=ovf_pad,
                              nb_pad=nb_pad,
-                             ovf_inc=None if ovf_pad is None else False)
+                             ovf_inc=None if ovf_pad is None else False,
+                             bucket_kink=False)
     bwd = build_block_hybrid(t_rowptr, t_col, t_val, num_cols_pad,
                              num_rows_pad, thresh, a_dtype=a_dtype, k=k_t,
                              ovf_pad=ovf_pad_t, nb_pad=nb_pad_t,
-                             ovf_inc=None if ovf_pad_t is None else False)
+                             ovf_inc=None if ovf_pad_t is None else False,
+                             bucket_kink=False)
     return BiBlockHybridAdj(fwd=fwd, bwd=bwd)

@@ -19,7 +19,8 @@ ELL padding waste while keeping the overflow tail short.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+import os
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +56,28 @@ class OvfIncidence(NamedTuple):
     rows2: jnp.ndarray  # [NC_pad*B] int32 edge row; pad -> R_pad-1
 
 
+class EllExt(NamedTuple):
+    """One bucketed-ELL extension level (round 4).
+
+    A single [R, K] ELL table pays K slots for EVERY row; at e.g. the reddit
+    block remainder the degree histogram is a broad hump (deg 3..24+), so
+    K=24 leaves 32% of the 5.6M gathered slots as padding while 341K edges
+    still overflow to the ~20 ns/edge COO scatter.  Splitting the width into
+    levels — a narrow base table over all rows plus extension tables over
+    only the rows that spill past each boundary — gathers far fewer padded
+    slots and shrinks the overflow, at the cost of one sorted [Ri, D]
+    index-add per level.  Level widths are chosen by the same slot/COO cost
+    model as ``choose_k`` (``choose_k_levels``).
+
+    ``rows`` is sorted ascending; padding rows point at the trash row
+    (R_pad-1) with zero vals, so the index-add contributes nothing there.
+    """
+
+    rows: jnp.ndarray  # [Ri_pad] int32 sorted; padding -> R_pad-1
+    cols: jnp.ndarray  # [Ri_pad, Ki] int32; padding -> trash col
+    vals: jnp.ndarray  # [Ri_pad, Ki] float; padding -> 0
+
+
 class HybridAdj(NamedTuple):
     """ELL core + COO overflow (both statically shaped).
 
@@ -69,6 +92,7 @@ class HybridAdj(NamedTuple):
     ovf_vals: jnp.ndarray  # [O_pad] float32; padding -> 0
     deg: jnp.ndarray  # [R_pad] float32 true degrees
     ovf_inc: Optional[OvfIncidence] = None  # big-overflow MXU path
+    ext: Tuple["EllExt", ...] = ()  # bucketed-ELL extension levels
 
     @property
     def num_rows(self) -> int:
@@ -85,6 +109,8 @@ class HybridAdj(NamedTuple):
             ell_vals=(self.ell_vals != 0).astype(self.ell_vals.dtype),
             ovf_vals=(self.ovf_vals != 0).astype(self.ovf_vals.dtype),
             ovf_inc=inc,
+            ext=tuple(e._replace(vals=(e.vals != 0).astype(e.vals.dtype))
+                      for e in self.ext),
         )
 
     def cast_values(self, dtype) -> "HybridAdj":
@@ -96,12 +122,15 @@ class HybridAdj(NamedTuple):
                                vals2=inc.vals2.astype(dtype))
         return self._replace(ell_vals=self.ell_vals.astype(dtype),
                              ovf_vals=self.ovf_vals.astype(dtype),
-                             ovf_inc=inc)
+                             ovf_inc=inc,
+                             ext=tuple(e._replace(vals=e.vals.astype(dtype))
+                                       for e in self.ext))
 
     def with_scaled_values(self, keep_ell, keep_ovf):
         # per-slot value rewrite in forward layout (GAT attention): the
         # incidence's vals2 cannot be rewritten without a slot gather —
         # drop it; the scatter path is semantically identical
+        assert not self.ext, "per-slot rewrites assume single-K ELL layout"
         return self._replace(ell_vals=keep_ell, ovf_vals=keep_ovf,
                              ovf_inc=None)
 
@@ -116,6 +145,13 @@ class HybridAdj(NamedTuple):
                 keep_o.astype(jnp.float32), self.ovf_rows,
                 num_segments=self.num_rows, indices_are_sorted=True,
             )
+        ext = []
+        for e in self.ext:
+            keep_x = (e.cols < batch_size) & (e.vals != 0)
+            deg = deg.at[e.rows].add(
+                keep_x.sum(axis=1).astype(jnp.float32),
+                indices_are_sorted=True)
+            ext.append(e._replace(vals=jnp.where(keep_x, e.vals, 0.0)))
         inc = self.ovf_inc
         if inc is not None:
             keep2 = inc.cols2 < batch_size
@@ -125,6 +161,7 @@ class HybridAdj(NamedTuple):
             ovf_vals=jnp.where(keep_o, self.ovf_vals, 0.0),
             deg=deg,
             ovf_inc=inc,
+            ext=tuple(ext),
         )
 
     def mask_rows(self, batch_size) -> "HybridAdj":
@@ -141,6 +178,9 @@ class HybridAdj(NamedTuple):
             ovf_vals=jnp.where(
                 jnp.take(row_keep[:, 0], self.ovf_rows), self.ovf_vals, 0.0),
             ovf_inc=inc,
+            ext=tuple(e._replace(vals=jnp.where(
+                (e.rows < batch_size)[:, None], e.vals, 0.0))
+                for e in self.ext),
         )
 
 
@@ -198,6 +238,73 @@ def choose_k(degrees: np.ndarray, quantile: float = 0.98, align: int = 8,
     return int(cands[int(np.argmin(cost))])
 
 
+#: estimated cost of one extension-level row in ELL-slot units (the sorted
+#: [Ri, D] index-add the level pays on top of its Ki gathered slots)
+_EXT_ROW_COST = 3.0
+#: fixed per-level cost in slot units (extra fusion dispatch + pad waste)
+_EXT_LEVEL_COST = 32768.0
+
+
+def choose_k_levels(degrees: np.ndarray, align: int = 8,
+                    coo_cost_ratio: float = 3.0,
+                    locality_kink: bool = True,
+                    max_levels: int = 3,
+                    max_k: int = 96) -> Tuple[int, Tuple[int, ...]]:
+    """Bucketed-ELL widths minimizing the slot/COO cost model.
+
+    Returns ``(k0, ext_widths)``: a base width every row pays plus up to
+    ``max_levels`` extension widths paid only by rows whose degree exceeds
+    the running boundary (see :class:`EllExt`).  Each extension level costs
+    its slots plus ``_EXT_ROW_COST`` per live row (the index-add) plus a
+    fixed dispatch term; overflow beyond the last boundary costs the
+    ``choose_k`` COO model.  Brute-force over aligned widths — the search
+    space is tiny and the histogram suffix sums make each candidate O(1).
+    """
+    if degrees.size == 0:
+        return align, ()
+    hist = np.bincount(degrees.astype(np.int64))
+    dmax = len(hist) - 1
+    kcap = min(max_k, ((dmax + align - 1) // align) * align)
+    if kcap < align:
+        return align, ()
+    # gt[b] = #rows with degree > b ; ovf(b) = sum max(deg-b, 0) = suffix sum
+    nz = int(degrees.size - hist[0])
+    gt = np.concatenate([[nz], nz - np.cumsum(hist[1:])])
+    gt = np.concatenate([gt, np.zeros(max(0, kcap + 2 - len(gt)), gt.dtype)])
+    ovf = np.concatenate([np.cumsum(gt[::-1])[::-1], [0]])
+
+    def ovf_cost(b):
+        o = float(ovf[min(b, len(ovf) - 1)])
+        extra = (_OVF_LOCALITY_EXTRA if locality_kink else 0.0)
+        return coo_cost_ratio * o + extra * max(0.0, o - _OVF_LOCALITY_EDGES)
+
+    cands = list(range(align, kcap + 1, align))
+    r = float(degrees.size)
+    best_c = [None]
+    best_pick = [None]
+
+    def rows_gt(b):
+        return float(gt[min(b, len(gt) - 1)])
+
+    def search(boundary, acc, widths, depth):
+        c = acc + ovf_cost(boundary)
+        if best_c[0] is None or c < best_c[0]:
+            best_c[0] = c
+            best_pick[0] = tuple(widths)
+        if depth >= max_levels or rows_gt(boundary) <= 0:
+            return
+        for ki in cands:
+            ri = rows_gt(boundary)
+            search(boundary + ki,
+                   acc + ri * ki + _EXT_ROW_COST * ri + _EXT_LEVEL_COST,
+                   widths + [ki], depth + 1)
+
+    for k0 in cands:
+        search(k0, r * k0, [k0], 0)
+    picked = best_pick[0]
+    return int(picked[0]), tuple(int(k) for k in picked[1:])
+
+
 def ell_buckets(degree_arrays, k: int = 8, ovf: int = 8,
                 coo_cost_ratio: float = 3.0, locality_kink: bool = True):
     """Shared ELL/overflow bucket sizes covering every batch.
@@ -219,6 +326,66 @@ def ell_buckets(degree_arrays, k: int = 8, ovf: int = 8,
     return k, max(ovf, 8, -(-need // 128) * 128)
 
 
+#: row count below which bucketed-ELL auto never engages (the extension
+#: levels' extra dispatches outweigh slot savings on small graphs)
+_BUCKET_MIN_ROWS = int(os.environ.get("INCAGG_BUCKET_MIN_ROWS", "32768"))
+
+
+def _attach_ell_ext(base: HybridAdj, o: int, ext_widths, num_rows_pad: int,
+                    trash_col: int, ovf_inc, ovf_inc_pad) -> HybridAdj:
+    """Split the base build's (row-sorted) overflow into bucketed-ELL
+    extension levels + a residual overflow (see :class:`EllExt`)."""
+    orows = np.asarray(base.ovf_rows)[:o]
+    ocols = np.asarray(base.ovf_cols)[:o]
+    ovals = np.asarray(base.ovf_vals)[:o]
+    # position of each overflow edge within its row's overflow run
+    first = np.concatenate([[0], np.flatnonzero(np.diff(orows)) + 1]) \
+        if o else np.zeros(0, np.int64)
+    rows_u = orows[first] if o else np.zeros(0, np.int32)
+    cnt = np.diff(np.append(first, o))
+    pos = np.arange(o) - np.repeat(first, cnt)
+
+    exts = []
+    prev = 0
+    for ki in ext_widths:
+        live = rows_u[cnt > prev]
+        ri = int(live.size)
+        ri_pad = max(8, ((ri + 7) // 8) * 8)
+        rows_i = np.full(ri_pad, num_rows_pad - 1, np.int32)
+        rows_i[:ri] = live
+        cols_i = np.full((ri_pad, ki), trash_col, np.int32)
+        vals_i = np.zeros((ri_pad, ki), ovals.dtype)
+        sel = (pos >= prev) & (pos < prev + ki)
+        rank = np.searchsorted(live, orows[sel])
+        cols_i[rank, pos[sel] - prev] = ocols[sel]
+        vals_i[rank, pos[sel] - prev] = ovals[sel]
+        exts.append(EllExt(rows=jnp.asarray(rows_i),
+                           cols=jnp.asarray(cols_i),
+                           vals=jnp.asarray(vals_i)))
+        prev += ki
+
+    sel = pos >= prev
+    ro = int(sel.sum())
+    opad = max(8, ((ro + 127) // 128) * 128)
+    res_rows = np.full(opad, num_rows_pad - 1, np.int32)
+    res_cols = np.full(opad, trash_col, np.int32)
+    res_vals = np.zeros(opad, ovals.dtype)
+    res_rows[:ro] = orows[sel]
+    res_cols[:ro] = ocols[sel]
+    res_vals[:ro] = ovals[sel]
+    inc = None
+    if ovf_inc is True or (ovf_inc is None and ro >= _OVF_INC_MIN):
+        inc = build_ovf_incidence(res_rows, res_cols, res_vals, num_rows_pad,
+                                  nc_pad=ovf_inc_pad)
+    return base._replace(
+        ovf_rows=jnp.asarray(res_rows),
+        ovf_cols=jnp.asarray(res_cols),
+        ovf_vals=jnp.asarray(res_vals),
+        ovf_inc=inc,
+        ext=tuple(exts),
+    )
+
+
 def build_hybrid_adj(
     rowptr: np.ndarray,
     col: np.ndarray,
@@ -230,6 +397,8 @@ def build_hybrid_adj(
     trash_col: Optional[int] = None,
     ovf_inc: Optional[bool] = None,
     ovf_inc_pad: Optional[int] = None,
+    bucket_ext: Optional[bool] = None,
+    bucket_kink: bool = True,
 ) -> HybridAdj:
     """Host-side conversion CSR -> hybrid ELL/COO with static shapes.
 
@@ -237,7 +406,14 @@ def build_hybrid_adj(
     (None = auto: only for one-off builds — ``ovf_pad is None`` — with an
     overflow slot count >= INCAGG_OVF_INC_MIN; loader-bucketed builds pass
     a static ``ovf_pad`` and must opt in with ``ovf_inc=True`` +
-    ``ovf_inc_pad`` to keep pytree shapes stable across batches)."""
+    ``ovf_inc_pad`` to keep pytree shapes stable across batches).
+
+    ``bucket_ext``: build bucketed-ELL extension levels (:class:`EllExt`)
+    when the ``choose_k_levels`` cost model prefers them (None = auto: only
+    for one-off builds — ``ovf_pad is None``, ``k is None`` — above
+    ``_BUCKET_MIN_ROWS`` rows; static loader builds keep single-K layouts).
+    ``bucket_kink`` forwards the overflow-locality term (False for bi/train
+    chains, like ``choose_k(locality_kink=)``)."""
     from incagg_gnn_tpu.utils.native import get_native_lib
 
     if ovf_inc is None and ovf_pad is not None:
@@ -247,8 +423,23 @@ def build_hybrid_adj(
     deg = np.diff(rowptr).astype(np.int64)
     if trash_col is None:
         trash_col = num_cols_pad - 1
+
+    if bucket_ext is None:
+        bucket_ext = (ovf_pad is None and k is None and r >= _BUCKET_MIN_ROWS
+                      and col.size > 0)
+    if bucket_ext and k is None:
+        k0, ext_widths = choose_k_levels(deg, locality_kink=bucket_kink)
+        if ext_widths:
+            cap = int(np.maximum(deg - k0, 0).sum())
+            base = build_hybrid_adj(
+                rowptr, col, value, num_rows_pad, num_cols_pad, k=k0,
+                ovf_pad=max(8, ((cap + 127) // 128) * 128),
+                trash_col=trash_col, ovf_inc=False, bucket_ext=False)
+            return _attach_ell_ext(base, cap, ext_widths, num_rows_pad,
+                                   trash_col, ovf_inc, ovf_inc_pad)
+        k = k0
     if k is None:
-        k = choose_k(deg)
+        k = choose_k(deg, locality_kink=bucket_kink)
 
     lib = get_native_lib()
     if lib is not None and col.shape[0] and r > 0:
@@ -489,6 +680,12 @@ def _ovf_padded(adj: HybridAdj, x: jnp.ndarray):
 def spmm_hybrid(adj: HybridAdj, x: jnp.ndarray) -> jnp.ndarray:
     """Weighted-sum aggregation, scatter-free on the ELL core."""
     out = _ell_sum(adj.ell_cols, adj.ell_vals, x)
+    for e in adj.ext:
+        # bucketed extension level: K_i more slots for the rows that spill
+        # past the running boundary, added back via a sorted index-add
+        # (padding rows all point at the trash row with zero vals)
+        s = _ell_sum(e.cols, e.vals, x)
+        out = out.at[e.rows].add(s, indices_are_sorted=True)
     if adj.ovf_inc is not None:
         from incagg_gnn_tpu.ops.block import _dense_call
         from incagg_gnn_tpu.ops.gatherpad import fast_gather_len
@@ -606,15 +803,49 @@ def build_bi_hybrid_adj(
     ovf_pad: Optional[int] = None,
     ovf_pad_t: Optional[int] = None,
     with_perm: bool = False,
+    bucket_ext: Optional[bool] = None,
 ) -> BiHybridAdj:
     """Build the forward hybrid and its transpose ([C x R], trash col at
     R_pad-1) from one local CSR block.  The transpose's ELL is built directly
     from the forward CSR in one C++ pass (csr_to_ell_t) — no intermediate
-    transposed CSR is materialized (collate hot path)."""
+    transposed CSR is materialized (collate hot path).
+
+    ``bucket_ext`` (None = auto for one-off builds, like
+    ``build_hybrid_adj``): bucketed-ELL levels on BOTH directions, sized
+    without the overflow-locality kink (bi chains keep the gather working
+    set hot).  Incompatible with ``with_perm`` (t2f assumes single-K
+    layouts); static-pad builds keep single-K."""
     from incagg_gnn_tpu.utils.native import get_native_lib
 
-    fwd = build_hybrid_adj(rowptr, col, value, num_rows_pad, num_cols_pad, k=k,
-                           ovf_pad=ovf_pad)
+    if bucket_ext is None:
+        bucket_ext = (k is None and k_t is None and ovf_pad is None
+                      and ovf_pad_t is None and not with_perm
+                      and rowptr.shape[0] - 1 >= _BUCKET_MIN_ROWS
+                      and col.size > 0)
+    if bucket_ext:
+        fwd = build_hybrid_adj(rowptr, col, value, num_rows_pad,
+                               num_cols_pad, bucket_ext=True,
+                               bucket_kink=False)
+        if fwd.ext:
+            # transpose CSR on the host, then an independent bucketed build
+            r = int(rowptr.shape[0] - 1)
+            deg = np.diff(rowptr)
+            rows = np.repeat(np.arange(r, dtype=np.int64), deg)
+            order = np.lexsort((rows, col))
+            t_cols = rows[order].astype(np.int32)
+            t_vals = (value[order] if value is not None else None)
+            t_rowptr = np.zeros(num_cols_pad + 1, dtype=np.int64)
+            np.add.at(t_rowptr, col.astype(np.int64) + 1, 1)
+            t_rowptr = np.cumsum(t_rowptr)
+            bwd = build_hybrid_adj(
+                t_rowptr, t_cols, t_vals, num_cols_pad, num_rows_pad,
+                trash_col=num_rows_pad - 1, bucket_ext=True,
+                bucket_kink=False)
+            return BiHybridAdj(fwd=fwd, bwd=bwd)
+        # level optimizer preferred single-K: keep that build
+    else:
+        fwd = build_hybrid_adj(rowptr, col, value, num_rows_pad,
+                               num_cols_pad, k=k, ovf_pad=ovf_pad)
     k_fwd = int(fwd.ell_cols.shape[1])
     fwd_ovf_base = num_rows_pad * k_fwd
     r = int(rowptr.shape[0] - 1)
@@ -722,6 +953,8 @@ def _ell_max(ell_cols: jnp.ndarray, ell_vals: jnp.ndarray,
 
 
 def spmm_hybrid_max(adj: HybridAdj, x: jnp.ndarray) -> jnp.ndarray:
+    assert not adj.ext, "max aggregation expects single-K layouts " \
+        "(bucketed builds are sum/mean block-tier remainders only)"
     neg = jnp.finfo(x.dtype).min
     out = _ell_max(adj.ell_cols, adj.ell_vals, x)
     if adj.ovf_rows.shape[0] > 0:
