@@ -32,18 +32,32 @@ def main():
     print(f"# {name}: fmt={fmt} edges={e}", file=sys.stderr)
 
     iters = 10
+    import jax.numpy as jnp
 
-    def step(h, o):
-        out, vjp = jax.vjp(lambda v: fn(o, v), h)
-        (g,) = vjp(out)
-        return (h - 1e-3 * g.astype(h.dtype)).astype(h.dtype)
+    # identical step shape to bench.py's train rows: aggregation -> [D, D]
+    # weight layer -> full backward.  The linear is load-bearing — without
+    # it the bare A@x / A^T@g chain hits the MSA pathology (no prefetch
+    # window for the cotangent gather table, docs/RESULTS.md r4).
+    w0 = jnp.asarray(np.random.default_rng(3)
+                     .standard_normal((x.shape[1], x.shape[1])) * 0.05,
+                     x.dtype)
+
+    def step(h, w_, o):
+        def f(v, w_):
+            return (fn(o, v) @ w_).sum().astype(jnp.float32)
+        _, (dx, dw) = jax.value_and_grad(f, argnums=(0, 1))(h, w_)
+        return ((h - 1e-3 * dx.astype(h.dtype)).astype(h.dtype),
+                (w_ - 1e-3 * dw.astype(w_.dtype)).astype(w_.dtype))
 
     @jax.jit
-    def run(x, ops):
-        def body(h, _):
-            return step(h, ops), None
-        h, _ = jax.lax.scan(body, x, None, length=iters)
-        return h.sum()
+    def run(x, w, ops):
+        def body(carry, _):
+            h, w_ = carry
+            return step(h, w_, ops), None
+        (h, w_), _ = jax.lax.scan(body, (x, w), None, length=iters)
+        return h.sum().astype(jnp.float32) + w_.sum().astype(jnp.float32)
+
+    run = lambda x, ops, _run=run: _run(x, w0, ops)  # keep call sites below
 
     # warm
     float(run(x, ops))
