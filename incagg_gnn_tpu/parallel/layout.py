@@ -93,7 +93,14 @@ def build_shard_layout_hierarchical(
 
     The single-level packer treats all device pairs as equidistant; on real
     pods DCN bandwidth per host is ~10x below ICI, so cross-host halo bytes
-    are the scaling limiter (SURVEY §7 step 9)."""
+    are the scaling limiter (SURVEY §7 step 9).
+
+    Cluster COUNTS are also capped per host at ``ceil(k / n_hosts)`` (and
+    per chip within a host): the sharded trainers run ``max(batches per
+    device)`` rounds of identically-padded steps, so one over-counted
+    device inflates every epoch by a whole padded round — count imbalance
+    is pure sharding overhead (SCALING_r03's measured 21.6% binding term).
+    Affinity swaps are 1-for-1 and preserve counts."""
     ptr = np.asarray(ptr, dtype=np.int64)
     sizes = np.diff(ptr)
     k = len(sizes)
@@ -103,13 +110,17 @@ def build_shard_layout_hierarchical(
     # ---- level 1: clusters -> hosts (affinity-greedy with balance cap,
     # then FM-style refinement sweeps) ----
     cap = int(np.ceil(sizes.sum() / n_hosts * (1.0 + balance_slack)))
+    ccap = int(np.ceil(k / n_hosts / chips_per_host)) * chips_per_host
     host_of = np.full(k, -1, dtype=np.int64)
     load = np.zeros(n_hosts, dtype=np.int64)
+    cnt = np.zeros(n_hosts, dtype=np.int64)
     # affinity[c, h] = edges between cluster c and host h's current set
     aff = np.zeros((k, n_hosts), dtype=np.int64)
     order = np.argsort(-sizes, kind="stable")
     for c in order:
-        open_h = np.nonzero(load + sizes[c] <= cap)[0]
+        open_h = np.nonzero((load + sizes[c] <= cap) & (cnt < ccap))[0]
+        if len(open_h) == 0:
+            open_h = np.nonzero(cnt < ccap)[0]
         if len(open_h) == 0:
             open_h = np.array([int(load.argmin())])
         # prefer the open host with max affinity; tie-break on least load
@@ -117,6 +128,7 @@ def build_shard_layout_hierarchical(
         best = open_h[np.lexsort((load[open_h], -a))][0]
         host_of[c] = best
         load[best] += sizes[c]
+        cnt[best] += 1
         aff[:, best] += w[:, c]
     # the greedy is order-degenerate (an empty host has zero affinity, so
     # the first host fills to its cap before the rest see anything);
@@ -127,6 +139,8 @@ def build_shard_layout_hierarchical(
         host_of[c] = h_to
         load[h_from] -= sizes[c]
         load[h_to] += sizes[c]
+        cnt[h_from] -= 1
+        cnt[h_to] += 1
         aff[:, h_from] -= w[:, c]
         aff[:, h_to] += w[:, c]
 
@@ -136,7 +150,7 @@ def build_shard_layout_hierarchical(
         for c in order:
             h = int(host_of[c])
             gains = aff[c] - aff[c, h]
-            gains[load + sizes[c] > cap] = -1  # balance cap
+            gains[(load + sizes[c] > cap) | (cnt >= ccap)] = -1  # caps
             gains[h] = 0
             b = int(gains.argmax())
             if gains[b] > 0:
@@ -161,15 +175,20 @@ def build_shard_layout_hierarchical(
         if changed == 0:
             break
 
-    # ---- level 2: within each host, size-pack onto chips ----
+    # ---- level 2: within each host, size-pack onto chips (count-capped:
+    # one extra batch on any chip costs a whole padded round) ----
     dev_of_cluster = np.zeros(k, dtype=np.int64)
     for h in range(n_hosts):
         mine = np.nonzero(host_of == h)[0]
+        dcap = int(np.ceil(len(mine) / chips_per_host))
         cload = np.zeros(chips_per_host, dtype=np.int64)
+        ccnt = np.zeros(chips_per_host, dtype=np.int64)
         for c in mine[np.argsort(-sizes[mine], kind="stable")]:
-            d = int(cload.argmin())
+            open_d = np.nonzero(ccnt < dcap)[0]
+            d = int(open_d[cload[open_d].argmin()])
             dev_of_cluster[c] = h * chips_per_host + d
             cload[d] += sizes[c]
+            ccnt[d] += 1
     return _layout_from_assignment(ptr, dev_of_cluster, n_dev, align)
 
 

@@ -311,6 +311,14 @@ class ShardedVRTrainer:
             self.layout = build_shard_layout_hierarchical(
                 ptr, data.adj_t.rowptr, data.adj_t.col,
                 int(self.mesh.devices.shape[0]), self.chips_per_host)
+        elif self.n_dev > 1:
+            # flat meshes get the affinity packer too (one "host" per
+            # device, count-capped): cross-DEVICE halo edges are the
+            # sharded-GAS staging + wire cost, and size-only greedy packing
+            # ignores them entirely (SCALING_r03: sharding overhead, not
+            # communication, was the binding 21.6% term)
+            self.layout = build_shard_layout_hierarchical(
+                ptr, data.adj_t.rowptr, data.adj_t.col, self.n_dev, 1)
         else:
             self.layout = build_shard_layout(ptr, self.n_dev)
         lay = self.layout
