@@ -543,9 +543,12 @@ class Trainer:
         # epoch (conf.period_updates_in_one_epoch, main.py:54-55)
         period = 0
         if self.cfg.period_updates_in_one_epoch > 0:
-            period = max(
-                1, len(self.train_loader) // self.cfg.period_updates_in_one_epoch
-            )
+            # period against the EFFECTIVE epoch length: with max_steps <
+            # len(loader) a loader-length period would never fire at all
+            # (caught by the r4 staleness stress suite — the period3 row
+            # was bit-identical to the unrecovered stress row)
+            eff = min(len(self.train_loader), self.max_steps)
+            period = max(1, eff // self.cfg.period_updates_in_one_epoch)
         from incagg_gnn_tpu.utils.prefetch import prefetch
 
         from incagg_gnn_tpu.utils.heartbeat import beat

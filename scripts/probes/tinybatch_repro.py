@@ -14,10 +14,16 @@ component (or pair) triggers the XLA:TPU fault.
   python scripts/probes/tinybatch_repro.py <variant>       # one candidate
 
 Variants: bare, linear, bn, dropout, adam, bn_dropout, full
-(each includes everything the previous proved clean plus one component —
-see VARIANTS).  Outcome table is printed by the driver and belongs in
-docs/RESULTS.md; a pinned auto-gate test (tests/test_spmm_loader.py::
-TestAutoFormatGate) already guards the shipped mitigation.
+(each includes everything the previous proved clean plus one component),
+plus — after the first matrix came back ALL CLEAN while the original
+main.py command still crashes (2026-08-21) — the history-cache axis the
+r2 bisection implicated ("full step after fill, fresh on-device copy of
+hist: crash"): vrpull (VR-style M_in/M_ag gathers from [N+1, D] tables
+inside the step), vrpull_full (vrpull + BN/dropout/Adam), multibatch
+(10 distinct batches at identical padded shapes, cycled).  Outcome table
+is printed by the driver and belongs in docs/RESULTS.md; a pinned
+auto-gate test (tests/test_spmm_loader.py::TestAutoFormatGate) already
+guards the shipped mitigation.
 """
 
 import os
@@ -35,9 +41,10 @@ HIDDEN = 256
 ITERS = 40  # the r2 crash fired within ~5 dispatches when it fired
 
 
-def build_batch():
-    """One real loader batch at the original crashing operating point:
-    sbm-arxiv, 150 single-cluster parts, VR (IB-only) hybrid bi pair."""
+def build_batches(count: int = 1):
+    """Real loader-shaped batches at the original crashing operating point:
+    sbm-arxiv, 150 single-cluster parts, VR (IB-only) hybrid bi pairs at
+    common padded shapes, plus each batch's global node ids (push_idx)."""
     import numpy as np
 
     from incagg_gnn_tpu.graph.csr import gcn_norm, permute
@@ -50,26 +57,33 @@ def build_batch():
     perm, ptr = partition_graph(data.adj_t, 150, seed=0)
     data = permute(data, perm)
     adj = gcn_norm(data.adj_t.set_diag())
-    # first cluster, IB-only block, padded to the crashing height
-    n0 = int(ptr[1] - ptr[0])
-    rowptr = adj.rowptr[: n0 + 1].copy()
-    e0 = int(rowptr[-1])
-    col = adj.col[:e0].copy()
-    val = adj.value[:e0].copy()
-    keep = col < n0  # IB-only (VR batches drop OB cols)
-    # rebuild CSR with only IB edges
-    import numpy as np
-    deg = np.diff(rowptr)
-    rows = np.repeat(np.arange(n0), deg)
-    rows, col, val = rows[keep], col[keep], val[keep]
-    rp = np.zeros(N_ROWS + 1, dtype=np.int64)
-    np.add.at(rp, rows + 1, 1)
-    rp = np.cumsum(rp)
-    bi = build_bi_hybrid_adj(rp, col.astype(np.int32), val, N_ROWS, N_ROWS,
-                             k=K, bucket_ext=False)
+    n_nodes = data.num_nodes
+    batches = []
+    ovf_pad = 640  # the original crashing layout
+    for b in range(count):
+        lo, hi = int(ptr[b]), int(ptr[b + 1])
+        n0 = hi - lo
+        assert n0 <= N_ROWS
+        rowptr = adj.rowptr[lo: hi + 1] - adj.rowptr[lo]
+        e0, e1 = int(adj.rowptr[lo]), int(adj.rowptr[hi])
+        col = adj.col[e0:e1].astype(np.int64)
+        val = adj.value[e0:e1]
+        keep = (col >= lo) & (col < hi)  # IB-only (VR batches drop OB cols)
+        deg = np.diff(rowptr)
+        rows = np.repeat(np.arange(n0), deg)
+        rows, col, val = rows[keep], (col[keep] - lo), val[keep]
+        rp = np.zeros(N_ROWS + 1, dtype=np.int64)
+        np.add.at(rp, rows + 1, 1)
+        rp = np.cumsum(rp)
+        bi = build_bi_hybrid_adj(rp, col.astype(np.int32), val, N_ROWS,
+                                 N_ROWS, k=K, k_t=K, ovf_pad=ovf_pad,
+                                 ovf_pad_t=ovf_pad, bucket_ext=False)
+        push_idx = np.full(N_ROWS, n_nodes, dtype=np.int32)  # pad -> trash
+        push_idx[:n0] = np.arange(lo, hi)
+        batches.append((bi, push_idx, n0))
     x = np.random.default_rng(0).standard_normal((N_ROWS, D)).astype(np.float32)
     y = np.random.default_rng(1).integers(0, 40, N_ROWS)
-    return bi, x, y, n0
+    return batches, x, y, n_nodes
 
 
 def run_variant(name: str) -> None:
@@ -79,16 +93,37 @@ def run_variant(name: str) -> None:
 
     from incagg_gnn_tpu.ops.ell import spmm_bi
 
-    bi, x_np, y_np, n0 = build_batch()
+    n_batches = 10 if name == "multibatch" else 1
+    batches, x_np, y_np, n_nodes = build_batches(n_batches)
+    bi, push_np, n0 = batches[0]
     x = jnp.asarray(x_np)
     y = jnp.asarray(y_np)
     rng = jax.random.PRNGKey(0)
 
     use_linear = name in ("linear", "bn", "dropout", "adam", "bn_dropout",
-                          "full")
-    use_bn = name in ("bn", "bn_dropout", "full")
-    use_dropout = name in ("dropout", "bn_dropout", "full")
-    use_adam = name in ("adam", "full")
+                          "full", "vrpull", "vrpull_full", "multibatch")
+    use_bn = name in ("bn", "bn_dropout", "full", "vrpull_full",
+                      "multibatch")
+    use_dropout = name in ("dropout", "bn_dropout", "full", "vrpull_full",
+                           "multibatch")
+    use_adam = name in ("adam", "full", "vrpull_full", "multibatch")
+    use_vrpull = name in ("vrpull", "vrpull_full", "multibatch",
+                          "vrpull_1table", "vrpull_fwdonly",
+                          "vrpull_nofill")
+    if name in ("vrpull_1table", "vrpull_fwdonly", "vrpull_nofill"):
+        use_linear = True
+
+    if use_vrpull:
+        # the history tables the r2 bisection implicated: per-layer
+        # [N+1, D] stacks the VR step gathers M_in/M_ag from
+        t_in = jnp.asarray(np.random.default_rng(5)
+                           .standard_normal((n_nodes + 1, D)) * 0.1,
+                           jnp.float32)
+        t_ag = jnp.asarray(np.random.default_rng(6)
+                           .standard_normal((n_nodes + 1, D)) * 0.1,
+                           jnp.float32)
+    else:
+        t_in = t_ag = None
 
     w1 = jnp.asarray(np.random.default_rng(2)
                      .standard_normal((D, HIDDEN)) * 0.05, jnp.float32)
@@ -105,8 +140,19 @@ def run_variant(name: str) -> None:
     else:
         tx, opt_state = None, ()
 
-    def forward(p, state, xx, key):
-        h = spmm_bi(bi, xx)
+    def agg(b, xx):
+        if use_vrpull:
+            # VR-shaped: fresh IB aggregation of (x - M_in) + cached M_ag
+            # (gcn_conv_vr structure, two stop-grad table gathers per layer)
+            m_in = jax.lax.stop_gradient(jnp.take(t_in, b[1], axis=0))
+            if name == "vrpull_1table":
+                return spmm_bi(b[0], xx - m_in)
+            m_ag = jax.lax.stop_gradient(jnp.take(t_ag, b[1], axis=0))
+            return spmm_bi(b[0], xx - m_in) + m_ag
+        return spmm_bi(b[0], xx)
+
+    def forward(p, state, b, xx, key):
+        h = agg(b, xx)
         if not use_linear:
             return h.sum(), state
         h = h @ p["w1"]
@@ -120,7 +166,7 @@ def run_variant(name: str) -> None:
         if use_dropout:
             keep = jax.random.bernoulli(key, 0.7, h.shape)
             h = jnp.where(keep, h / 0.7, 0.0)
-        h = spmm_bi(bi, h)
+        h = agg(b, h)
         logits = h @ p["w2"]
         valid = jnp.arange(N_ROWS) < n0
         ll = jax.nn.log_softmax(logits)
@@ -128,47 +174,64 @@ def run_variant(name: str) -> None:
         return loss, state
 
     @jax.jit
-    def step(p, o, state, xx, key):
-        (loss, state), g = jax.value_and_grad(forward, has_aux=True)(
-            p, state, xx, key)
+    def step(p, o, state, b, xx, key):
+        (loss, state), g = jax.value_and_grad(
+            forward, argnums=0, has_aux=True)(p, state, b, xx, key)
         if use_adam:
             upd, o = tx.update(g, o, p)
-            p = jax.tree.map(lambda a, b: a + b, p, upd)
+            p = jax.tree.map(lambda a, b2: a + b2, p, upd)
         else:
-            p = jax.tree.map(lambda a, b: a - 1e-3 * b, p, g)
+            p = jax.tree.map(lambda a, b2: a - 1e-3 * b2, p, g)
         return p, o, state, loss
+
+    dev_batches = [(jax.device_put(b), jnp.asarray(pi))
+                   for b, pi, _ in batches]
+    fwd_jit = jax.jit(forward)
 
     # "fill"-like prelude: a scanned forward-only pass (the r2 table showed
     # crashes fired after the fill had run in the same process)
     @jax.jit
     def fill(xx):
         def body(c, _):
-            return spmm_bi(bi, c).astype(c.dtype), None
+            return spmm_bi(dev_batches[0][0], c).astype(c.dtype), None
         h, _ = jax.lax.scan(body, xx, None, length=10)
         return h
 
-    jax.block_until_ready(fill(x))
+    if name != "vrpull_nofill":
+        jax.block_until_ready(fill(x))
     t0 = time.time()
     for i in range(ITERS):
         rng, key = jax.random.split(rng)
-        params, opt_state, bn_state, loss = step(params, opt_state, bn_state,
-                                                 x, key)
+        b = dev_batches[i % len(dev_batches)]
+        if name == "vrpull_fwdonly":
+            loss, bn_state = fwd_jit(params, bn_state, b, x, key)
+        else:
+            params, opt_state, bn_state, loss = step(
+                params, opt_state, bn_state, b, x, key)
         jax.block_until_ready(loss)
     print(f"CLEAN {name}: {ITERS} dispatches, last loss "
           f"{float(loss):.4f} [{time.time()-t0:.0f}s]")
 
 
-def driver():
-    variants = ["bare", "linear", "bn", "dropout", "adam", "bn_dropout",
-                "full"]
+def driver(only=None):
+    variants = only or ["bare", "linear", "bn", "dropout", "adam",
+                        "bn_dropout", "full", "vrpull", "vrpull_full",
+                        "multibatch"]
     reps = 2
     results = {}
     for v in variants:
         outs = []
         for r in range(reps):
-            pr = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), v],
-                capture_output=True, text=True, timeout=900)
+            try:
+                pr = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), v],
+                    capture_output=True, text=True, timeout=900)
+            except subprocess.TimeoutExpired:
+                # a worker crash can wedge the runtime rather than raise —
+                # count a hang as a fault and keep going
+                outs.append("HANG(900s)")
+                print(f"{v} rep{r}: {outs[-1]}", flush=True)
+                continue
             ok = pr.returncode == 0 and "CLEAN" in pr.stdout
             tail = (pr.stdout + pr.stderr).strip().splitlines()[-1:] or [""]
             outs.append("clean" if ok else f"CRASH(rc={pr.returncode})")
@@ -183,4 +246,4 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] != "driver":
         run_variant(sys.argv[1])
     else:
-        driver()
+        driver(sys.argv[2:] or None)
