@@ -297,6 +297,10 @@ class SubgraphLoader:
             if isinstance(adj, HybridAdj):
                 # map batch-local columns into global table rows; padded
                 # slots land on the trash row or carry zero weight either way
+                assert not adj.ext and adj.ovf_inc is None, (
+                    "global-cols remap rewrites only ell/ovf columns; a "
+                    "bucketed or incidence-bearing adj would gather from "
+                    "wrong table rows — loader builds must stay single-K")
                 adj = adj._replace(
                     ell_cols=n_id_pad[np.asarray(adj.ell_cols)],
                     ovf_cols=n_id_pad[np.asarray(adj.ovf_cols)],

@@ -398,9 +398,9 @@ class ScalableGNN:
             # full width and slicing after is exact)
             adjc = adj
             if adj.ell_vals.dtype != src.dtype:
-                adjc = adj._replace(
-                    ell_vals=adj.ell_vals.astype(src.dtype),
-                    ovf_vals=adj.ovf_vals.astype(src.dtype))
+                # cast_values is ext/incidence-aware — a bucketed adj keeps
+                # every value-carrying level in the uniform dtype
+                adjc = adj.cast_values(src.dtype)
             ag = self.vr_aggregate(adjc, src).astype(jnp.float32)  # [R_pad, D]
             dim = self.layer_input_dim(layer)
             if push_m0 and layer == 0 and (vr or self.needs_x0):

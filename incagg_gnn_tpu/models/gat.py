@@ -37,6 +37,10 @@ def _hybrid_att_coeffs(fwd: HybridAdj, a_src, a_dst):
     """Masked leaky-relu scores and row-softmax attention over the hybrid
     layout.  Returns (att_e [R,K,H], att_o [O,H], pre_e, pre_o, valid_e,
     valid_o) — pre-activations kept for the backward's leaky-relu factor."""
+    assert not fwd.ext, (
+        "GAT attention reads only the ELL core + overflow; a bucketed adj "
+        "(non-empty ext levels) would silently drop extension edges — "
+        "build GAT adjacencies with bucket_ext=False")
     r_pad = fwd.num_rows
     valid_e = (fwd.ell_vals != 0)[..., None]
     pre_e = jnp.take(a_src, fwd.ell_cols, axis=0) + a_dst[:, None, :]

@@ -834,9 +834,9 @@ def build_bi_hybrid_adj(
             order = np.lexsort((rows, col))
             t_cols = rows[order].astype(np.int32)
             t_vals = (value[order] if value is not None else None)
-            t_rowptr = np.zeros(num_cols_pad + 1, dtype=np.int64)
-            np.add.at(t_rowptr, col.astype(np.int64) + 1, 1)
-            t_rowptr = np.cumsum(t_rowptr)
+            t_deg = np.bincount(col.astype(np.int64),
+                                minlength=num_cols_pad).astype(np.int64)
+            t_rowptr = np.concatenate(([0], np.cumsum(t_deg)))
             bwd = build_hybrid_adj(
                 t_rowptr, t_cols, t_vals, num_cols_pad, num_rows_pad,
                 trash_col=num_rows_pad - 1, bucket_ext=True,

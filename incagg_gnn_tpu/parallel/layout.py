@@ -95,8 +95,11 @@ def build_shard_layout_hierarchical(
     pods DCN bandwidth per host is ~10x below ICI, so cross-host halo bytes
     are the scaling limiter (SURVEY §7 step 9).
 
-    Cluster COUNTS are also capped per host at ``ceil(k / n_hosts)`` (and
-    per chip within a host): the sharded trainers run ``max(batches per
+    Cluster COUNTS are also capped per host at ``ceil(k / n_dev) *
+    chips_per_host`` (per-DEVICE rounds x chips — chosen so the per-device
+    round count stays optimal after level-2 packing; can exceed a naive
+    ``ceil(k / n_hosts)`` host split) and per chip within a host at
+    ``ceil(k / n_dev)``: the sharded trainers run ``max(batches per
     device)`` rounds of identically-padded steps, so one over-counted
     device inflates every epoch by a whole padded round — count imbalance
     is pure sharding overhead (SCALING_r03's measured 21.6% binding term).

@@ -29,6 +29,9 @@ def main():
                     default=["sbm-arxiv-hard", "sbm-products-hard"])
     ap.add_argument("--models", nargs="+",
                     default=["gcn", "gcn2", "appnp", "sage"])
+    ap.add_argument("--root", default="/tmp",
+                    help="dataset root for real npz archives (day-one real-"
+                         "data runs: --datasets arxiv products --root /data)")
     ap.add_argument("--out", default="docs/accuracy_suite_r02.json")
     args = ap.parse_args()
 
@@ -79,7 +82,7 @@ def main():
             for mode, vr in (("gas", False), ("reverb", True)):
                 accs = []
                 for run in range(args.runs):
-                    data, in_c, out_c = get_data("/tmp", ds, seed=run)
+                    data, in_c, out_c = get_data(args.root, ds, seed=run)
                     model = build(model_name, data, in_c, out_c)
                     tcfg = TrainerConfig(
                         num_parts=16, batch_size=4, vr_update=vr,
