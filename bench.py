@@ -66,17 +66,15 @@ D = 256
 ROOFLINE_F32 = HBM_BW / (3 * D * 4)  # 266.6M edges/s — the fixed baseline
 
 # Committed prior-round per-row values (edges/s) — the regression guard.
-# fwd rows: BENCH_r01 / docs/RESULTS.md kernel tables, re-confirmed on-chip
-# 2026-08-21.  train rows: first committed in round 3.
+# All rows: BENCH_r04.json driver-captured values (bucketed-ELL levels +
+# gather-emitter fast-class padding harness).
 PRIOR = {
-    ("arxiv", "fwd"): 126.3e6,
-    ("products", "fwd"): 205.0e6,
-    ("reddit", "fwd"): 236.6e6,
-    # train rows: BENCH_r03 driver-captured values (bare-chain harness);
-    # the r4 harness (weight layer + gather-emitter fixes) must beat them
-    ("arxiv", "train"): 41.5e6,
-    ("products", "train"): 118.0e6,
-    ("reddit", "train"): 137.3e6,
+    ("arxiv", "fwd"): 152.9e6,
+    ("products", "fwd"): 349.5e6,
+    ("reddit", "fwd"): 385.0e6,
+    ("arxiv", "train"): 77.6e6,
+    ("products", "train"): 190.4e6,
+    ("reddit", "train"): 197.2e6,
 }
 GUARD_RATIO = 0.7
 

@@ -29,6 +29,10 @@ def main():
                     default=["sbm-arxiv-hard", "sbm-products-hard"])
     ap.add_argument("--models", nargs="+",
                     default=["gcn", "gcn2", "appnp", "sage"])
+    ap.add_argument("--hist-dtypes", nargs="+", default=["float32"],
+                    help="history-cache dtypes to characterize (VERDICT r4 "
+                         "#5: fp8 vs bf16 vs f32 on a hard preset); keys "
+                         "gain a -dtype suffix when more than one is given")
     ap.add_argument("--root", default="/tmp",
                     help="dataset root for real npz archives (day-one real-"
                          "data runs: --datasets arxiv products --root /data)")
@@ -78,8 +82,9 @@ def main():
 
     results = {}
     for ds in args.datasets:
-        for model_name in args.models:
-            for mode, vr in (("gas", False), ("reverb", True)):
+      for model_name in args.models:
+        for mode, vr in (("gas", False), ("reverb", True)):
+            for hd in args.hist_dtypes:
                 accs = []
                 for run in range(args.runs):
                     data, in_c, out_c = get_data(args.root, ds, seed=run)
@@ -87,14 +92,16 @@ def main():
                     tcfg = TrainerConfig(
                         num_parts=16, batch_size=4, vr_update=vr,
                         epochs=args.epochs, lr=0.01, seed=run,
-                        log_every=1000)
+                        log_every=1000, hist_dtype=hd)
                     t0 = time.time()
                     res = Trainer(model, data, tcfg).fit()
                     accs.append(float(res["best_test"]))
-                    print(f"{ds} {model_name}-{mode} run{run}: "
+                    print(f"{ds} {model_name}-{mode}-{hd} run{run}: "
                           f"{accs[-1]:.4f} [{time.time()-t0:.0f}s]",
                           flush=True)
                 key = f"{ds}/{model_name}-{mode}"
+                if len(args.hist_dtypes) > 1:
+                    key += f"-{hd}"
                 results[key] = {
                     "mean": round(float(np.mean(accs)), 4),
                     "std": round(float(np.std(accs)), 4),
@@ -104,7 +111,8 @@ def main():
                     json.dump({"protocol": {"runs": args.runs,
                                             "epochs": args.epochs,
                                             "hidden": 64, "num_parts": 16,
-                                            "batch_size": 4, "lr": 0.01},
+                                            "batch_size": 4, "lr": 0.01,
+                                            "hist_dtypes": args.hist_dtypes},
                                "results": results}, f, indent=1)
     print("DONE", args.out)
 
