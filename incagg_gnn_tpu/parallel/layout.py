@@ -82,11 +82,21 @@ def build_shard_layout_hierarchical(
     align: int = 8,
     balance_slack: float = 0.05,
 ) -> ShardLayout:
-    """Two-level cluster placement for a (hosts × chips) mesh: clusters are
-    first grouped onto *hosts* by greedy max-affinity growing over the
-    coarsened cluster graph (minimizing cross-host halo edges, which ride the
-    slow DCN), then size-bin-packed onto each host's chips (intra-host halo
-    rides ICI, so only load balance matters there).  Device index =
+    """Two-level cluster placement for a (hosts × chips) mesh.  Two
+    candidates are built over the coarsened cluster-affinity graph and the
+    one with the lower DCN-weighted cut (cross-host edges x10 + intra-host
+    cross-device edges) wins:
+
+    * top-down: clusters -> hosts by affinity-greedy + FM refinement, then
+      the same partitioner packs each host's clusters onto its chips;
+    * bottom-up: flat affinity packing onto all ``n_dev`` devices, then the
+      DEVICES are grouped into hosts by max intra-host device affinity
+      (SCALING_r05 measured the flat packer's per-device locality beating
+      the top-down split at 2x4 — intra-device locality is harder to
+      recover after a host split than host locality is to recover from a
+      good device packing).
+
+    Device index =
     ``host * chips_per_host + chip`` — host-major, matching the flattened
     order of a 2-D ``Mesh(devices.reshape(hosts, chips), ("host", "chip"))``
     and the lexicographic device order of tuple-axis collectives.
@@ -110,89 +120,140 @@ def build_shard_layout_hierarchical(
     n_dev = n_hosts * chips_per_host
     w = cluster_affinity(rowptr, col, ptr)
 
-    # ---- level 1: clusters -> hosts (affinity-greedy with balance cap,
-    # then FM-style refinement sweeps) ----
-    cap = int(np.ceil(sizes.sum() / n_hosts * (1.0 + balance_slack)))
-    ccap = int(np.ceil(k / n_hosts / chips_per_host)) * chips_per_host
-    host_of = np.full(k, -1, dtype=np.int64)
-    load = np.zeros(n_hosts, dtype=np.int64)
-    cnt = np.zeros(n_hosts, dtype=np.int64)
-    # affinity[c, h] = edges between cluster c and host h's current set
-    aff = np.zeros((k, n_hosts), dtype=np.int64)
+    # ---- candidate A: top-down — clusters -> hosts, then affinity-packed
+    # onto each host's chips (both levels use the greedy+FM partitioner) --
+    cap1 = int(np.ceil(sizes.sum() / n_hosts * (1.0 + balance_slack)))
+    ccap1 = int(np.ceil(k / n_dev)) * chips_per_host
+    host_of = _affinity_partition(sizes, w, n_hosts, cap1, ccap1)
+    dev_a = np.zeros(k, dtype=np.int64)
+    for h in range(n_hosts):
+        mine = np.nonzero(host_of == h)[0]
+        if len(mine) == 0:
+            continue
+        dcap = int(np.ceil(len(mine) / chips_per_host))
+        scap = int(np.ceil(sizes[mine].sum() / chips_per_host
+                           * (1.0 + balance_slack)))
+        sub = _affinity_partition(sizes[mine], w[np.ix_(mine, mine)],
+                                  chips_per_host, scap, dcap)
+        dev_a[mine] = h * chips_per_host + sub
+    if chips_per_host == 1 or n_hosts == 1:
+        return _layout_from_assignment(ptr, dev_a, n_dev, align)
+
+    # ---- candidate B: bottom-up — flat affinity over all devices, then
+    # group the DEVICES into hosts by max intra-host device affinity
+    # (SCALING_r05 measured the flat packer beating top-down grouping at
+    # 2x4: per-device locality is harder to recover after a host split
+    # than host locality is to recover from a good device packing) ------
+    capd = int(np.ceil(sizes.sum() / n_dev * (1.0 + balance_slack)))
+    ccapd = int(np.ceil(k / n_dev))
+    dev_flat = _affinity_partition(sizes, w, n_dev, capd, ccapd)
+    dw = _device_affinity(dev_flat, w, n_dev)
+    group_of_dev = _affinity_partition(
+        np.ones(n_dev, dtype=np.int64), dw, n_hosts,
+        cap=chips_per_host, ccap=chips_per_host)
+    rank = np.zeros(n_dev, dtype=np.int64)
+    for g in range(n_hosts):
+        mem = np.nonzero(group_of_dev == g)[0]
+        rank[mem] = g * chips_per_host + np.arange(len(mem))
+    dev_b = rank[dev_flat]
+
+    # ---- pick by DCN-weighted cut: cross-host edges ride DCN (~10x
+    # slower than ICI), intra-host cross-device edges ride ICI ----------
+    def _score(dev_of):
+        m = _device_affinity(dev_of, w, n_dev)
+        host = np.arange(n_dev) // chips_per_host
+        same_host = host[:, None] == host[None, :]
+        intra_host = m[same_host].sum() - np.trace(m)
+        cross_host = m.sum() - np.trace(m) - intra_host
+        return 10.0 * cross_host + intra_host
+
+    dev_of_cluster = dev_a if _score(dev_a) <= _score(dev_b) else dev_b
+    return _layout_from_assignment(ptr, dev_of_cluster, n_dev, align)
+
+
+def _device_affinity(dev_of: np.ndarray, w: np.ndarray,
+                     n_dev: int) -> np.ndarray:
+    """Coarsen the cluster-affinity matrix to a [n_dev, n_dev] device
+    affinity (inter-device edge counts; diagonal = intra-device)."""
+    m = np.zeros((n_dev, n_dev), dtype=np.int64)
+    for d in range(n_dev):
+        wd = w[dev_of == d].sum(axis=0)
+        m[d] = np.bincount(dev_of, weights=wd, minlength=n_dev)
+    return m
+
+
+def _affinity_partition(sizes: np.ndarray, w: np.ndarray, n_groups: int,
+                        cap: int, ccap: int, rounds: int = 8) -> np.ndarray:
+    """Affinity-greedy growing + FM refinement: partition items with
+    ``sizes`` and affinity matrix ``w`` into ``n_groups`` groups under a
+    size cap ``cap`` and a count cap ``ccap``, maximizing intra-group
+    affinity.  Returns ``group_of [k]``.  (The shared engine behind both
+    levels of the hierarchical layout and the device->host grouping.)"""
+    k = len(sizes)
+    group_of = np.full(k, -1, dtype=np.int64)
+    load = np.zeros(n_groups, dtype=np.int64)
+    cnt = np.zeros(n_groups, dtype=np.int64)
+    # affinity[c, g] = edges between item c and group g's current set
+    aff = np.zeros((k, n_groups), dtype=np.int64)
     order = np.argsort(-sizes, kind="stable")
     for c in order:
-        open_h = np.nonzero((load + sizes[c] <= cap) & (cnt < ccap))[0]
-        if len(open_h) == 0:
-            open_h = np.nonzero(cnt < ccap)[0]
-        if len(open_h) == 0:
-            open_h = np.array([int(load.argmin())])
-        # prefer the open host with max affinity; tie-break on least load
-        a = aff[c, open_h]
-        best = open_h[np.lexsort((load[open_h], -a))][0]
-        host_of[c] = best
+        open_g = np.nonzero((load + sizes[c] <= cap) & (cnt < ccap))[0]
+        if len(open_g) == 0:
+            open_g = np.nonzero(cnt < ccap)[0]
+        if len(open_g) == 0:
+            open_g = np.array([int(load.argmin())])
+        # prefer the open group with max affinity; tie-break on least load
+        a = aff[c, open_g]
+        best = open_g[np.lexsort((load[open_g], -a))][0]
+        group_of[c] = best
         load[best] += sizes[c]
         cnt[best] += 1
         aff[:, best] += w[:, c]
-    # the greedy is order-degenerate (an empty host has zero affinity, so
-    # the first host fills to its cap before the rest see anything);
+    # the greedy is order-degenerate (an empty group has zero affinity, so
+    # the first group fills to its cap before the rest see anything);
     # FM-style sweeps — single moves, then pairwise swaps (which keep
-    # working when every host sits at the balance cap and no single move
+    # working when every group sits at the balance cap and no single move
     # is feasible) — until no step improves the cut
-    def _move(c, h_from, h_to):
-        host_of[c] = h_to
-        load[h_from] -= sizes[c]
-        load[h_to] += sizes[c]
-        cnt[h_from] -= 1
-        cnt[h_to] += 1
-        aff[:, h_from] -= w[:, c]
-        aff[:, h_to] += w[:, c]
+    def _move(c, g_from, g_to):
+        group_of[c] = g_to
+        load[g_from] -= sizes[c]
+        load[g_to] += sizes[c]
+        cnt[g_from] -= 1
+        cnt[g_to] += 1
+        aff[:, g_from] -= w[:, c]
+        aff[:, g_to] += w[:, c]
 
     idx = np.arange(k)
-    for _ in range(8):
+    for _ in range(rounds):
         changed = 0
         for c in order:
-            h = int(host_of[c])
-            gains = aff[c] - aff[c, h]
+            g = int(group_of[c])
+            gains = aff[c] - aff[c, g]
             gains[(load + sizes[c] > cap) | (cnt >= ccap)] = -1  # caps
-            gains[h] = 0
+            gains[g] = 0
             b = int(gains.argmax())
             if gains[b] > 0:
-                _move(c, h, b)
+                _move(c, g, b)
                 changed += 1
         for c in range(k):
-            h1 = int(host_of[c])
-            g_c = aff[c] - aff[c, h1]  # c's gain moving to each host
-            h2s = host_of
+            g1 = int(group_of[c])
+            g_c = aff[c] - aff[c, g1]  # c's gain moving to each group
+            g2s = group_of
             # swap gain with each c2: both move; their mutual edges stay cut
-            tot = (g_c[h2s] + (aff[idx, h1] - aff[idx, h2s]) - 2 * w[c])
-            feas = ((load[h1] - sizes[c] + sizes <= cap)
-                    & (load[h2s] - sizes + sizes[c] <= cap)
-                    & (h2s != h1))
+            tot = (g_c[g2s] + (aff[idx, g1] - aff[idx, g2s]) - 2 * w[c])
+            feas = ((load[g1] - sizes[c] + sizes <= cap)
+                    & (load[g2s] - sizes + sizes[c] <= cap)
+                    & (g2s != g1))
             tot = np.where(feas, tot, 0)
             c2 = int(tot.argmax())
             if tot[c2] > 0:
-                h2 = int(host_of[c2])
-                _move(c, h1, h2)
-                _move(c2, h2, h1)
+                g2 = int(group_of[c2])
+                _move(c, g1, g2)
+                _move(c2, g2, g1)
                 changed += 1
         if changed == 0:
             break
-
-    # ---- level 2: within each host, size-pack onto chips (count-capped:
-    # one extra batch on any chip costs a whole padded round) ----
-    dev_of_cluster = np.zeros(k, dtype=np.int64)
-    for h in range(n_hosts):
-        mine = np.nonzero(host_of == h)[0]
-        dcap = int(np.ceil(len(mine) / chips_per_host))
-        cload = np.zeros(chips_per_host, dtype=np.int64)
-        ccnt = np.zeros(chips_per_host, dtype=np.int64)
-        for c in mine[np.argsort(-sizes[mine], kind="stable")]:
-            open_d = np.nonzero(ccnt < dcap)[0]
-            d = int(open_d[cload[open_d].argmin()])
-            dev_of_cluster[c] = h * chips_per_host + d
-            cload[d] += sizes[c]
-            ccnt[d] += 1
-    return _layout_from_assignment(ptr, dev_of_cluster, n_dev, align)
+    return group_of
 
 
 def edge_locality(layout: ShardLayout, rowptr: np.ndarray, col: np.ndarray,

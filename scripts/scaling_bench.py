@@ -179,6 +179,63 @@ def find_prior(explicit: str | None) -> tuple[str, dict] | None:
     return None
 
 
+def _measure_mesh2d(args, build, run_leg, make_row, make_mesh, make_mesh_2d,
+                    edge_locality, t1_loop):
+    """The 2-D (hosts x chips) leg: full/loopback timing on the tuple-axis
+    mesh + the measured cross-host halo-edge term of the hierarchical
+    layout vs the flat affinity layout at the same device count."""
+    import jax
+
+    if args.mesh2d == "none":
+        return None
+    h, c = (int(v) for v in args.mesh2d.split("x"))
+    if h * c > len(jax.devices()):
+        return None
+
+    def derive(row):
+        full_t = row["train_s_full"] + row["refresh_s_full"]
+        loop_t = row["train_s_loopback"] + row["refresh_s_loopback"]
+        row["mesh"] = f"{h}x{c} (hosts x chips, tuple-axis collectives)"
+        row["comm_fraction_measured"] = round(
+            max(0.0, full_t - loop_t) / full_t, 4)
+        if t1_loop:
+            row["sharding_overhead_vs_1dev"] = round(
+                loop_t / t1_loop - 1.0, 4)
+        return full_t
+
+    leg, meta = run_leg(lambda: make_mesh_2d(h, c), f"2d_{h}x{c}")
+    row = make_row(h * c, leg)
+    full_t = derive(row)
+    if row_issues(row):  # one re-run, same discipline as the 1-D legs
+        leg2, meta2 = run_leg(lambda: make_mesh_2d(h, c),
+                              f"2d_{h}x{c}_rerun")
+        row2 = make_row(h * c, leg2)
+        if derive(row2) < full_t:
+            row, meta = row2, meta2
+
+    # measured cross-"host" halo term: hierarchical layout on the 2-D mesh
+    # vs the flat affinity layout at the same device count, both read at
+    # the host grouping of the 2-D mesh
+    from incagg_gnn_tpu.parallel.layout import build_shard_layout_hierarchical
+
+    tr2 = meta["trainer"]
+    adj = tr2.data.adj_t  # permuted CSR the layout indexes
+    loc_hier = edge_locality(tr2.layout, adj.rowptr, adj.col,
+                             tr2.ptr, chips_per_host=c)
+    flat_lay = build_shard_layout_hierarchical(
+        tr2.ptr, adj.rowptr, adj.col, h * c, 1)
+    loc_flat = edge_locality(flat_lay, adj.rowptr, adj.col,
+                             tr2.ptr, chips_per_host=c)
+    row["edge_locality_hierarchical"] = {
+        k: round(v, 4) for k, v in loc_hier.items()}
+    row["edge_locality_flat_same_grouping"] = {
+        k: round(v, 4) for k, v in loc_flat.items()}
+    row["cross_host_halo_reduction"] = round(
+        1.0 - loc_hier["cross_host"]
+        / max(loc_flat["cross_host"], 1e-12), 4)
+    return row
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
@@ -204,6 +261,10 @@ def main():
     ap.add_argument("--min-reps", type=int, default=3)
     ap.add_argument("--max-reps", type=int, default=5)
     ap.add_argument("--agree-tol", type=float, default=0.06)
+    ap.add_argument("--update-mesh2d", default=None, metavar="ARTIFACT",
+                    help="re-measure ONLY the 2-D mesh leg (same "
+                         "methodology; nd=1 baseline read from the "
+                         "artifact) and update that artifact in place")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -366,6 +427,31 @@ def main():
         print(json.dumps(row), flush=True)
         return row, meta
 
+    if args.update_mesh2d:
+        # surgical re-measure of the 2-D leg only (e.g. after a layout
+        # change): identical methodology, nd=1 loopback baseline and the
+        # decomposition taken from the existing artifact
+        with open(args.update_mesh2d) as f:
+            art = json.load(f)
+        r1 = next(r for r in art["decomposition"] if r["devices"] == 1)
+        t1_loop = r1["train_s_loopback"] + r1["refresh_s_loopback"]
+        row = _measure_mesh2d(args, build, run_leg, make_row, make_mesh,
+                              make_mesh_2d, edge_locality, t1_loop)
+        if row is not None:
+            art["mesh2d"] = row
+            art["mesh2d_note"] = "re-measured after layout change"
+            art["consistency_issues"] = [
+                i for i in art.get("consistency_issues", [])
+                if "mesh2d" not in i] + [f"mesh2d: {m}"
+                                         for m in row_issues(row)]
+            art["valid"] = (not art["consistency_issues"]
+                            and not art.get("suspect_legs"))
+            with open(args.update_mesh2d, "w") as f:
+                json.dump(art, f, indent=1)
+            print(json.dumps(row))
+            print("updated", args.update_mesh2d)
+        return art
+
     raw = {}
     metas = {}
     for nd in args.devices:
@@ -423,60 +509,13 @@ def main():
                    + nd_last["collective_fraction_corrected"]), 3)
 
     # ---- 2-D (hosts x chips) mesh row (VERDICT r4 item 7) ----------------
-    if args.mesh2d != "none":
-        h, c = (int(v) for v in args.mesh2d.split("x"))
-        if h * c <= len(jax.devices()):
-            leg, meta = run_leg(lambda: make_mesh_2d(h, c), f"2d_{h}x{c}")
-            row = make_row(h * c, leg)
-            full_t = row["train_s_full"] + row["refresh_s_full"]
-            loop_t = row["train_s_loopback"] + row["refresh_s_loopback"]
-            row["mesh"] = f"{h}x{c} (hosts x chips, tuple-axis collectives)"
-            row["comm_fraction_measured"] = round(
-                max(0.0, full_t - loop_t) / full_t, 4)
-            if t1_loop:
-                row["sharding_overhead_vs_1dev"] = round(
-                    loop_t / t1_loop - 1.0, 4)
-            iss = row_issues(row)
-            if iss:  # one re-run, same discipline as the 1-D legs
-                leg2, meta2 = run_leg(lambda: make_mesh_2d(h, c),
-                                      f"2d_{h}x{c}_rerun")
-                row2 = make_row(h * c, leg2)
-                f2 = row2["train_s_full"] + row2["refresh_s_full"]
-                if f2 < full_t:
-                    l2 = (row2["train_s_loopback"]
-                          + row2["refresh_s_loopback"])
-                    row2["mesh"] = row["mesh"]
-                    row2["comm_fraction_measured"] = round(
-                        max(0.0, f2 - l2) / f2, 4)
-                    if t1_loop:
-                        row2["sharding_overhead_vs_1dev"] = round(
-                            l2 / t1_loop - 1.0, 4)
-                    row, meta = row2, meta2
-                results["consistency_issues"].extend(row_issues(row))
-
-            # measured cross-"host" halo reduction: hierarchical layout on
-            # the 2-D mesh vs the flat affinity layout at the same device
-            # count, both read at the host grouping of the 2-D mesh
-            from incagg_gnn_tpu.parallel.layout import (
-                build_shard_layout_hierarchical)
-
-            tr2 = meta["trainer"]
-            adj = tr2.data.adj_t  # permuted CSR the layout indexes
-            loc_hier = edge_locality(tr2.layout, adj.rowptr, adj.col,
-                                     tr2.ptr, chips_per_host=c)
-            flat_lay = build_shard_layout_hierarchical(
-                tr2.ptr, adj.rowptr, adj.col, h * c, 1)
-            loc_flat = edge_locality(flat_lay, adj.rowptr, adj.col,
-                                     tr2.ptr, chips_per_host=c)
-            row["edge_locality_hierarchical"] = {
-                k: round(v, 4) for k, v in loc_hier.items()}
-            row["edge_locality_flat_same_grouping"] = {
-                k: round(v, 4) for k, v in loc_flat.items()}
-            row["cross_host_halo_reduction"] = round(
-                1.0 - loc_hier["cross_host"]
-                / max(loc_flat["cross_host"], 1e-12), 4)
-            results["mesh2d"] = row
-            print(json.dumps(row), flush=True)
+    row = _measure_mesh2d(args, build, run_leg, make_row, make_mesh,
+                          make_mesh_2d, edge_locality, t1_loop)
+    if row is not None:
+        results["consistency_issues"].extend(
+            f"mesh2d: {m}" for m in row_issues(row))
+        results["mesh2d"] = row
+        print(json.dumps(row), flush=True)
 
     # ---- isolated all_to_all microbench at the real HaloPlan shapes ------
     nd = max(d for d in args.devices if d <= len(jax.devices()))
