@@ -120,7 +120,7 @@ def _build(name, n, avg_degree, fmt, dtype_s, num_parts, classes, kind):
     from incagg_gnn_tpu.graph.datasets import make_sbm
     from incagg_gnn_tpu.graph.partition import partition_graph
     from incagg_gnn_tpu.ops.block import (
-        build_bi_block_hybrid, build_block_hybrid, plan_block_tier,
+        build_bi_block_hybrid, build_block_hybrid, plan_block_tier_rb,
         spmm_block, spmm_block_bi)
     from incagg_gnn_tpu.ops.ell import (
         build_bi_hybrid_adj, build_hybrid_adj, spmm_bi, spmm_hybrid)
@@ -145,21 +145,22 @@ def _build(name, n, avg_degree, fmt, dtype_s, num_parts, classes, kind):
 
     ops, fn = None, None
     if fmt == "block":
-        th = plan_block_tier(adj.rowptr, adj.col, n_pad,
-                             x_itemsize=itemsize, a_itemsize=itemsize,
-                             d_hint=D)
-        if th is not None:
+        plan = plan_block_tier_rb(adj.rowptr, adj.col, n_pad,
+                                  x_itemsize=itemsize, a_itemsize=itemsize,
+                                  d_hint=D)
+        if plan is not None:
+            th, rb = plan
             if kind == "train":
                 blk = build_bi_block_hybrid(adj.rowptr, adj.col, adj.value,
                                             n_pad, n_pad, thresh=th,
-                                            a_dtype=a_np)
+                                            a_dtype=a_np, rb_rows=rb)
                 blk = blk._replace(fwd=blk.fwd._replace(rem=_cast_hyb(blk.fwd.rem)),
                                    bwd=blk.bwd._replace(rem=_cast_hyb(blk.bwd.rem)))
                 ops, fn = blk, spmm_block_bi
             else:
                 blk = build_block_hybrid(adj.rowptr, adj.col, adj.value,
                                          n_pad, n_pad, thresh=th,
-                                         a_dtype=a_np)
+                                         a_dtype=a_np, rb_rows=rb)
                 blk = blk._replace(rem=_cast_hyb(blk.rem))
                 ops, fn = blk, spmm_block
         else:
@@ -190,9 +191,14 @@ def _bench_shape(name, n, avg_degree, fmt, dtype_s, num_parts, classes,
                                 num_parts, classes, kind)
     # more scan iterations at small shapes: the axon tunnel adds ~30-38 ms
     # of per-call dispatch/readback latency, which at the arxiv shape
-    # (~19 ms/iter on-chip) would otherwise masquerade as kernel time
+    # (~19 ms/iter on-chip) would otherwise masquerade as kernel time —
+    # at iters=10 the products fwd row read 371M for a 449M kernel (r5)
     if e < 3_000_000:
-        iters = 50
+        iters = 200
+    elif e < 10_000_000:
+        iters = 100
+    else:
+        iters = 30
     import jax.numpy as jnp
 
     w = jnp.asarray(

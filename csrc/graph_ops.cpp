@@ -697,9 +697,11 @@ static inline uint16_t f32_to_bf16(float f) {
 }
 
 int64_t blocks_count(const int64_t* rowptr, const int32_t* col, int64_t r,
-                     int64_t ncb, int64_t thresh, int64_t* ndense_per_rb,
-                     int64_t* rem_deg) {
-  const int64_t nrb = (r + 127) / 128;
+                     int64_t ncb, int64_t thresh, int64_t rb_rows,
+                     int64_t* ndense_per_rb, int64_t* rem_deg) {
+  // rb_rows: row-tile height (128 = classic square tiles; taller tiles
+  // amortize the x-tile DMA over more rows — ops/block.py cost model)
+  const int64_t nrb = (r + rb_rows - 1) / rb_rows;
   int64_t total = 0;
 #pragma omp parallel reduction(+ : total)
   {
@@ -707,7 +709,7 @@ int64_t blocks_count(const int64_t* rowptr, const int32_t* col, int64_t r,
     std::vector<int32_t> touched;
 #pragma omp for schedule(dynamic, 4)
     for (int64_t rb = 0; rb < nrb; ++rb) {
-      const int64_t r0 = rb * 128, r1 = std::min<int64_t>(r0 + 128, r);
+      const int64_t r0 = rb * rb_rows, r1 = std::min<int64_t>(r0 + rb_rows, r);
       touched.clear();
       for (int64_t j = rowptr[r0]; j < rowptr[r1]; ++j) {
         const int32_t cb = col[j] >> 7;
@@ -731,12 +733,13 @@ int64_t blocks_count(const int64_t* rowptr, const int32_t* col, int64_t r,
 }
 
 void blocks_fill(const int64_t* rowptr, const int32_t* col, const float* value,
-                 int64_t r, int64_t ncb, int64_t thresh,
+                 int64_t r, int64_t ncb, int64_t thresh, int64_t rb_rows,
                  const int64_t* tile_start,  // [nrb] padded start per row-block
                  const int64_t* rem_rowptr,  // [r+1] cumsum of rem_deg
                  void* a_out, int32_t a_is_bf16, int32_t* bcol_out,
                  int32_t* rem_col, float* rem_val) {
-  const int64_t nrb = (r + 127) / 128;
+  const int64_t nrb = (r + rb_rows - 1) / rb_rows;
+  const int64_t tile_elems = rb_rows * 128;
 #pragma omp parallel
   {
     std::vector<int32_t> cnt(ncb, 0);
@@ -744,7 +747,7 @@ void blocks_fill(const int64_t* rowptr, const int32_t* col, const float* value,
     std::vector<int32_t> touched;
 #pragma omp for schedule(dynamic, 4)
     for (int64_t rb = 0; rb < nrb; ++rb) {
-      const int64_t r0 = rb * 128, r1 = std::min<int64_t>(r0 + 128, r);
+      const int64_t r0 = rb * rb_rows, r1 = std::min<int64_t>(r0 + rb_rows, r);
       touched.clear();
       for (int64_t j = rowptr[r0]; j < rowptr[r1]; ++j) {
         const int32_t cb = col[j] >> 7;
@@ -767,7 +770,7 @@ void blocks_fill(const int64_t* rowptr, const int32_t* col, const float* value,
           const float v = value ? value[j] : 1.0f;
           if (cnt[cb] >= thresh) {
             const int64_t off =
-                (t0 + slot[cb]) * 16384 + (i - r0) * 128 + (c & 127);
+                (t0 + slot[cb]) * tile_elems + (i - r0) * 128 + (c & 127);
             // accumulate: duplicate (row,col) entries must SUM, matching
             // the ELL/COO paths (each duplicate gets its own slot there)
             if (a_is_bf16) {

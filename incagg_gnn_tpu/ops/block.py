@@ -88,22 +88,26 @@ class BlockHybridAdj(NamedTuple):
         )
 
 
-def block_cost_ns(x_itemsize: int, a_itemsize: int, d_hint: int) -> float:
+def block_cost_ns(x_itemsize: int, a_itemsize: int, d_hint: int,
+                  rb_rows: int = B) -> float:
     """Measured per-dense-tile cost model: the (A tile + x tile) DMA at HBM
-    bandwidth (the kernel is DMA-roofline-bound at LANES=4, docs/RESULTS.md)."""
-    return (B * B * a_itemsize + B * d_hint * x_itemsize) / _HBM_GBPS
+    bandwidth (the kernel is DMA-roofline-bound at LANES=4, docs/RESULTS.md).
+    Tall tiles (``rb_rows`` > 128) amortize the x-tile DMA over more rows —
+    the [rb, 128] A tile still reads ONE [128, D] x tile."""
+    return (rb_rows * B * a_itemsize + B * d_hint * x_itemsize) / _HBM_GBPS
 
 
-def marginal_thresh(x_itemsize: int, a_itemsize: int, d_hint: int) -> int:
+def marginal_thresh(x_itemsize: int, a_itemsize: int, d_hint: int,
+                    rb_rows: int = B) -> int:
     """Edges/block above which one dense tile beats its edges' ELL slots."""
     c_slot = _C_SLOT_NS.get(x_itemsize, 5.7)
-    return max(8, int(np.ceil(block_cost_ns(x_itemsize, a_itemsize, d_hint)
-                              / c_slot)))
+    return max(8, int(np.ceil(
+        block_cost_ns(x_itemsize, a_itemsize, d_hint, rb_rows) / c_slot)))
 
 
 def _cost_ns(counts: np.ndarray, num_edges: int,
              thresh: int, deg: np.ndarray, x_itemsize: int, a_itemsize: int,
-             d_hint: int) -> Tuple[float, float, int]:
+             d_hint: int, rb_rows: int = B) -> Tuple[float, float, int]:
     """(est. hybrid-only ns, est. block+remainder ns, dense edge count)."""
     c_slot = _C_SLOT_NS.get(x_itemsize, 5.7)
 
@@ -122,7 +126,7 @@ def _cost_ns(counts: np.ndarray, num_edges: int,
     dense_mask = counts >= thresh
     nb = int(dense_mask.sum())
     e_dense = int(counts[dense_mask].sum())
-    c_blk = block_cost_ns(x_itemsize, a_itemsize, d_hint)
+    c_blk = block_cost_ns(x_itemsize, a_itemsize, d_hint, rb_rows)
     # remainder rows keep their row count; degrees shrink by the dense edges.
     # Approximate the remainder degree distribution by uniform shrink (exact
     # per-row recount needs the edge->block map; this errs conservative).
@@ -149,6 +153,30 @@ def plan_block_tier(
     says the pure hybrid path is within ``min_gain`` of the tiered one (the
     tier's ~30-200x adjacency-byte inflation is not worth a marginal win).
     """
+    plan = plan_block_tier_rb(rowptr, col, num_cols_pad, x_itemsize,
+                              a_itemsize, d_hint, min_gain,
+                              rb_candidates=(B,))
+    return None if plan is None else plan[0]
+
+
+def plan_block_tier_rb(
+    rowptr: np.ndarray,
+    col: np.ndarray,
+    num_cols_pad: int,
+    x_itemsize: int = 4,
+    a_itemsize: Optional[int] = None,
+    d_hint: int = 256,
+    min_gain: float = 0.08,
+    rb_candidates: Tuple[int, ...] = (128, 256, 512),
+) -> Optional[Tuple[int, int]]:
+    """Like :func:`plan_block_tier` but also chooses the row-tile height:
+    returns ``(thresh, rb_rows)`` for the cheapest candidate, or None.
+
+    Tall tiles amortize the [128, D] x-tile DMA over ``rb`` rows — at the
+    reddit shape the partition locality keeps ~83% of edges dense at every
+    height while the modeled tile DMA drops 13.6 -> 10.2 -> 9.0 ms for
+    128/256/512 rows (r5 analysis; the 0.75x-roofline lever of VERDICT r4
+    item 3)."""
     r = int(rowptr.shape[0] - 1)
     if col.size == 0 or r == 0:
         return None
@@ -156,26 +184,36 @@ def plan_block_tier(
     deg = np.diff(rowptr).astype(np.int64)
     row = np.repeat(np.arange(r, dtype=np.int64), deg)
     ncb = num_cols_pad // B
-    key = (row // B) * ncb + col.astype(np.int64) // B
-    counts = np.unique(key, return_counts=True)[1]
-    # marginal break-even, then verify globally (k / overflow interactions)
-    thresh = marginal_thresh(x_itemsize, a_itemsize, d_hint)
-    # SMEM prefetch budget: the kernel scalar-prefetches one s32 block-col
-    # id per tile (bcols [LANES, steps]) plus one s32 per grid step
-    # (brow_step) = ~5 B/tile of SMEM per pallas_call.  Past ~200K tiles
-    # the scoped allocation exceeds the v5e's SMEM and compilation fails
-    # (hit at the 234K-tile reddit-shape full graph); raise the threshold
-    # until the densest `tile_cap` blocks remain — the ones the tier is
-    # for — and let the rest ride the hybrid remainder.
+    c64 = col.astype(np.int64)
     tile_cap = int(os.environ.get("INCAGG_BLOCK_TILE_CAP", "150000"))
-    if int((counts >= thresh).sum()) > tile_cap:
-        sc = np.sort(counts)
-        thresh = max(thresh, int(sc[sc.size - tile_cap]) + 1)
-    base, tiered, e_dense = _cost_ns(
-        counts, int(col.size), thresh, deg, x_itemsize, a_itemsize, d_hint)
-    if e_dense == 0 or tiered > base * (1.0 - min_gain):
+    best = None  # (tiered_ns, thresh, rb)
+    base_ns = None
+    for rb in rb_candidates:
+        key = (row // rb) * ncb + c64 // B
+        counts = np.unique(key, return_counts=True)[1]
+        # marginal break-even, then verify globally (k/overflow interactions)
+        thresh = marginal_thresh(x_itemsize, a_itemsize, d_hint, rb)
+        # SMEM prefetch budget: the kernel scalar-prefetches one s32
+        # block-col id per tile (bcols [LANES, steps]) plus one s32 per grid
+        # step (brow_step) = ~5 B/tile of SMEM per pallas_call.  Past ~200K
+        # tiles the scoped allocation exceeds the v5e's SMEM and compilation
+        # fails (hit at the 234K-tile reddit-shape full graph); raise the
+        # threshold until the densest `tile_cap` blocks remain — the ones
+        # the tier is for — and let the rest ride the hybrid remainder.
+        if int((counts >= thresh).sum()) > tile_cap:
+            sc = np.sort(counts)
+            thresh = max(thresh, int(sc[sc.size - tile_cap]) + 1)
+        base, tiered, e_dense = _cost_ns(
+            counts, int(col.size), thresh, deg, x_itemsize, a_itemsize,
+            d_hint, rb)
+        base_ns = base
+        if e_dense == 0:
+            continue
+        if best is None or tiered < best[0]:
+            best = (tiered, thresh, rb)
+    if best is None or best[0] > base_ns * (1.0 - min_gain):
         return None
-    return thresh
+    return best[1], best[2]
 
 
 def measure_block_tier(
@@ -184,11 +222,12 @@ def measure_block_tier(
     num_rows_pad: int,
     num_cols_pad: int,
     thresh: int,
+    rb_rows: int = B,
 ) -> Tuple[int, np.ndarray]:
     """Pre-pass for static bucket sizing: (padded tile total that
     :func:`build_block_hybrid` will produce, remainder row degrees)."""
     r = int(rowptr.shape[0] - 1)
-    nrb = num_rows_pad // B
+    nrb = -(-num_rows_pad // rb_rows)
     ncb = num_cols_pad // B
     deg = np.diff(rowptr).astype(np.int64)
     if col.size == 0:
@@ -198,13 +237,14 @@ def measure_block_tier(
 
     lib = get_native_lib()
     if lib is not None:
-        _, ndense, rem_deg = lib.blocks_count(rowptr, col, ncb, thresh)
+        _, ndense, rem_deg = lib.blocks_count(rowptr, col, ncb, thresh,
+                                              rb_rows=rb_rows)
         runs = np.zeros(nrb, dtype=np.int64)
         runs[: ndense.shape[0]] = ndense
     else:
         rem_deg = deg.copy()
         row = np.repeat(np.arange(r, dtype=np.int64), deg)
-        key = (row // B) * ncb + col.astype(np.int64) // B
+        key = (row // rb_rows) * ncb + col.astype(np.int64) // B
         uniq, inv, counts = np.unique(key, return_inverse=True,
                                       return_counts=True)
         dense_blk = counts >= thresh
@@ -232,16 +272,22 @@ def build_block_hybrid(
     ovf_inc: Optional[bool] = False,
     bucket_ext: Optional[bool] = None,
     bucket_kink: bool = True,
+    rb_rows: int = B,
 ) -> BlockHybridAdj:
     """Host-side conversion CSR -> dense tiles + hybrid remainder.
 
     ``nb_pad`` (total padded tile count, multiple of LANES) lets a loader
     keep static shapes across batches; extra tiles are appended as zero
     fillers on the last row-block.
+
+    ``rb_rows``: row-tile height (tiles are [rb_rows, 128]).  Tall tiles
+    amortize the x-tile DMA (plan_block_tier_rb chooses); the dense-tier
+    output covers ``ceil(num_rows_pad / rb_rows) * rb_rows`` rows and
+    :func:`_dense_call` slices back to ``num_rows_pad``.
     """
     assert num_rows_pad % B == 0 and num_cols_pad % B == 0
     r = int(rowptr.shape[0] - 1)
-    nrb = num_rows_pad // B
+    nrb = -(-num_rows_pad // rb_rows)
     ncb = num_cols_pad // B
     deg = np.diff(rowptr).astype(np.int64)
 
@@ -251,7 +297,8 @@ def build_block_hybrid(
     if lib is not None and col.size:
         # C++ two-phase build: count -> padded layout -> fill in place
         # (the numpy path's unique+fancy-scatter took ~50 s at reddit scale)
-        _, ndense, rem_deg = lib.blocks_count(rowptr, col, ncb, thresh)
+        _, ndense, rem_deg = lib.blocks_count(rowptr, col, ncb, thresh,
+                                              rb_rows=rb_rows)
         runs = np.zeros(nrb, dtype=np.int64)
         runs[: ndense.shape[0]] = ndense
         runs_pad = ((np.maximum(runs, 1) + LANES - 1) // LANES) * LANES
@@ -262,7 +309,7 @@ def build_block_hybrid(
             nb_pad = total
         starts_pad = np.concatenate([[0], np.cumsum(runs_pad)])[:-1]
 
-        a = np.zeros((nb_pad, B, B), dtype=a_dtype)
+        a = np.zeros((nb_pad, rb_rows, B), dtype=a_dtype)
         bcol_flat = np.zeros(nb_pad, dtype=np.int32)
         brow_flat = np.full(nb_pad, nrb - 1, dtype=np.int32)
         brow_flat[:total] = np.repeat(np.arange(nrb, dtype=np.int32), runs_pad)
@@ -274,14 +321,14 @@ def build_block_hybrid(
         r_col = np.empty(max(nrem, 1), dtype=np.int32)
         r_val = np.empty(max(nrem, 1), dtype=np.float32)
         lib.blocks_fill(rowptr, col, value, ncb, thresh, starts_pad, rp,
-                        a, bcol_flat, r_col, r_val)
+                        a, bcol_flat, r_col, r_val, rb_rows=rb_rows)
         r_col, r_val = r_col[:nrem], r_val[:nrem]
     else:
         row = np.repeat(np.arange(r, dtype=np.int64), deg)
         c64 = col.astype(np.int64)
         val = value if value is not None else np.ones(col.size, np.float32)
 
-        key = (row // B) * ncb + c64 // B
+        key = (row // rb_rows) * ncb + c64 // B
         uniq, inv, counts = np.unique(key, return_inverse=True,
                                       return_counts=True)
         dense_blk = counts >= thresh
@@ -307,7 +354,7 @@ def build_block_hybrid(
         # position of each dense tile in the padded layout
         tile_pos = starts_pad[drb] + (np.arange(nb) - starts_real[drb])
 
-        a = np.zeros((nb_pad, B, B), dtype=a_dtype)
+        a = np.zeros((nb_pad, rb_rows, B), dtype=a_dtype)
         bcol_flat = np.zeros(nb_pad, dtype=np.int32)
         bcol_flat[tile_pos] = dcb
         brow_flat = np.full(nb_pad, nrb - 1, dtype=np.int32)  # trailing fillers
@@ -319,7 +366,7 @@ def build_block_hybrid(
             # add (not assign): duplicate (row,col) entries must SUM, as the
             # ELL/COO paths do (each duplicate gets its own slot there)
             acc = a if a.dtype == np.float32 else np.zeros_like(a, np.float32)
-            np.add.at(acc, (p, row[e_dense] % B, c64[e_dense] % B),
+            np.add.at(acc, (p, row[e_dense] % rb_rows, c64[e_dense] % B),
                       val[e_dense])
             if acc is not a:
                 a[...] = acc
@@ -362,6 +409,7 @@ def _dense_reference(dense, x: jnp.ndarray,
     with shard_map/vmap/GSPMD on CPU test meshes.  (On TPU it measures
     0.38-1.02x of hybrid — docs/RESULTS.md — hence the kernel.)"""
     lanes = int(dense.bcols.shape[0])
+    rb = int(dense.a.shape[1])  # row-tile height (tall tiles: rb > B)
     d = x.shape[1]
     s = dense.brow_step.shape[0]
     bcol_flat = dense.bcols.T.reshape(-1)  # [NB] tile -> col block
@@ -377,9 +425,10 @@ def _dense_reference(dense, x: jnp.ndarray,
     prod = jnp.einsum("nij,njd->nid", dense.a.astype(jnp.float32),
                       g.astype(jnp.float32),
                       preferred_element_type=jnp.float32, precision=prec)
-    out = jax.ops.segment_sum(prod, brow_flat, num_segments=num_rows // B,
+    nrb = -(-num_rows // rb)
+    out = jax.ops.segment_sum(prod, brow_flat, num_segments=nrb,
                               indices_are_sorted=True)
-    return out.reshape(num_rows, d)
+    return out.reshape(nrb * rb, d)[:num_rows]
 
 
 def _dense_call(dense, x: jnp.ndarray, num_rows: int):
@@ -398,6 +447,9 @@ def _dense_call(dense, x: jnp.ndarray, num_rows: int):
 
     s = dense.brow_step.shape[0]
     d = x.shape[1]
+    rb = int(dense.a.shape[1])  # row-tile height ([rb, 128] tall tiles
+    # amortize the x DMA over rb rows; plan_block_tier_rb chooses)
+    rows_dense = -(-num_rows // rb) * rb
 
     # f32 tiles: full f32 multiply (see _dense_reference note)
     prec = (jax.lax.Precision.HIGHEST
@@ -429,16 +481,16 @@ def _dense_call(dense, x: jnp.ndarray, num_rows: int):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(s,),
-        in_specs=[pl.BlockSpec((lanes, B, B), lambda i, br, bc: (i, 0, 0))]
+        in_specs=[pl.BlockSpec((lanes, rb, B), lambda i, br, bc: (i, 0, 0))]
                  + [make_xspec(j) for j in range(lanes)],
-        out_specs=pl.BlockSpec((B, d), lambda i, br, bc: (br[i], 0)),
+        out_specs=pl.BlockSpec((rb, d), lambda i, br, bc: (br[i], 0)),
     )
     call = pl.pallas_call(
         kernel,
         # under shard_map the output varies over the same mesh axes as x
         # (per-device kernel); vma must be declared or check_vma rejects it
         out_shape=jax.ShapeDtypeStruct(
-            (num_rows, d), jnp.float32,
+            (rows_dense, d), jnp.float32,
             vma=getattr(jax.typeof(x), "vma", None) or frozenset()),
         grid_spec=grid_spec,
     )
@@ -448,7 +500,8 @@ def _dense_call(dense, x: jnp.ndarray, num_rows: int):
     # caches; accumulation stays f32 via preferred_element_type)
     if x.dtype != dense.a.dtype:
         x = x.astype(dense.a.dtype)
-    return call(dense.brow_step, dense.bcols, dense.a, *([x] * lanes))
+    out = call(dense.brow_step, dense.bcols, dense.a, *([x] * lanes))
+    return out[:num_rows] if rows_dense != num_rows else out
 
 
 def spmm_block(adj: BlockHybridAdj, x: jnp.ndarray) -> jnp.ndarray:
@@ -507,6 +560,11 @@ class BiBlockHybridAdj(NamedTuple):
         duplicate (row,col) entries summed into one tile cell — or cancelling
         to zero — are undercounted vs the hybrid path's per-slot count).  The
         trainer routes aggregate_combined=False runs to hybrid/COO."""
+        # the bwd row-masking below assumes square tiles (tile row id =
+        # brow * B + in-tile row); tall-tile pairs never reach this path —
+        # the trainer routes IB ablations to hybrid/COO
+        assert self.fwd.dense.a.shape[1] == B, "mask_in_batch needs rb=128"
+        assert self.bwd.dense.a.shape[1] == B, "mask_in_batch needs rb=128"
         col_of = jnp.arange(B, dtype=jnp.int32)
         # fwd: mask tile columns by global col id
         f = self.fwd
@@ -530,12 +588,13 @@ class BiBlockHybridAdj(NamedTuple):
 
 def _dense_row_counts(dense: BlockDense, num_rows: int) -> jnp.ndarray:
     """True (nonzero) entry count per row of the dense tier."""
-    counts = (dense.a != 0).sum(axis=2).astype(jnp.float32)  # [NB, B]
+    rb = int(dense.a.shape[1])
+    counts = (dense.a != 0).sum(axis=2).astype(jnp.float32)  # [NB, rb]
     brow_flat = jnp.repeat(dense.brow_step, dense.bcols.shape[0])
+    nrb = -(-num_rows // rb)
     per_block = jax.ops.segment_sum(
-        counts, brow_flat, num_segments=num_rows // B,
-        indices_are_sorted=True)
-    return per_block.reshape(num_rows)
+        counts, brow_flat, num_segments=nrb, indices_are_sorted=True)
+    return per_block.reshape(nrb * rb)[:num_rows]
 
 
 @jax.custom_vjp
@@ -610,6 +669,8 @@ def build_bi_block_hybrid(
     nb_pad: Optional[int] = None,
     nb_pad_t: Optional[int] = None,
     transpose: Optional[tuple] = None,
+    rb_rows: int = B,
+    rb_rows_t: Optional[int] = None,
 ) -> BiBlockHybridAdj:
     """Build the forward block-hybrid and its exact transpose.
 
@@ -623,25 +684,28 @@ def build_bi_block_hybrid(
     # pads) leave k=None so build_hybrid_adj's bucketed-ELL level
     # optimizer (choose_k_levels) can size the remainder instead.
     one_off = ovf_pad is None and ovf_pad_t is None
+    rb_t = rb_rows if rb_rows_t is None else rb_rows_t
     if k is None and not one_off:
         _, rem_deg = measure_block_tier(rowptr, col, num_rows_pad,
-                                        num_cols_pad, thresh)
+                                        num_cols_pad, thresh,
+                                        rb_rows=rb_rows)
         k = choose_k(rem_deg, locality_kink=False)
     if transpose is None:
         transpose = transpose_csr_host(rowptr, col, value, num_cols_pad)
     t_rowptr, t_col, t_val = transpose
     if k_t is None and not one_off:
         _, rem_deg_t = measure_block_tier(t_rowptr, t_col, num_cols_pad,
-                                          num_rows_pad, thresh)
+                                          num_rows_pad, thresh,
+                                          rb_rows=rb_t)
         k_t = choose_k(rem_deg_t, locality_kink=False)
     fwd = build_block_hybrid(rowptr, col, value, num_rows_pad, num_cols_pad,
                              thresh, a_dtype=a_dtype, k=k, ovf_pad=ovf_pad,
                              nb_pad=nb_pad,
                              ovf_inc=None if ovf_pad is None else False,
-                             bucket_kink=False)
+                             bucket_kink=False, rb_rows=rb_rows)
     bwd = build_block_hybrid(t_rowptr, t_col, t_val, num_cols_pad,
                              num_rows_pad, thresh, a_dtype=a_dtype, k=k_t,
                              ovf_pad=ovf_pad_t, nb_pad=nb_pad_t,
                              ovf_inc=None if ovf_pad_t is None else False,
-                             bucket_kink=False)
+                             bucket_kink=False, rb_rows=rb_t)
     return BiBlockHybridAdj(fwd=fwd, bwd=bwd)

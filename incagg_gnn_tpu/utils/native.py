@@ -86,13 +86,13 @@ class NativeGraphLib:
         dll.blocks_count.restype = ctypes.c_int64
         dll.blocks_count.argtypes = [
             _i64p, _i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            _i64p, _i64p,
+            ctypes.c_int64, _i64p, _i64p,
         ]
         dll.blocks_fill.restype = None
         dll.blocks_fill.argtypes = [
             _i64p, _i32p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
-            ctypes.c_int64, _i64p, _i64p, ctypes.c_void_p, ctypes.c_int32,
-            _i32p, _i32p, _f32p,
+            ctypes.c_int64, ctypes.c_int64, _i64p, _i64p, ctypes.c_void_p,
+            ctypes.c_int32, _i32p, _i32p, _f32p,
         ]
         dll.transpose_csr.restype = None
         dll.transpose_csr.argtypes = [
@@ -232,25 +232,26 @@ class NativeGraphLib:
             t2f = padded
         return ell_cols, ell_vals, ovf_rows, ovf_cols, ovf_vals, int(n), t2f
 
-    def blocks_count(self, rowptr, col, ncb, thresh):
+    def blocks_count(self, rowptr, col, ncb, thresh, rb_rows=128):
         """Dense-tile pre-pass (ops/block.py): per-row-block dense-tile
-        counts + per-row remainder degrees; returns (total, ndense, rem_deg)."""
+        counts + per-row remainder degrees; returns (total, ndense, rem_deg).
+        ``rb_rows`` is the row-tile height (tall tiles amortize x DMA)."""
         r = rowptr.shape[0] - 1
-        nrb = (r + 127) // 128
+        nrb = (r + rb_rows - 1) // rb_rows
         nd = np.zeros(max(nrb, 1), dtype=np.int64)
         rem = np.zeros(max(r, 1), dtype=np.int64)
         total = self._dll.blocks_count(
             rowptr, np.ascontiguousarray(col, dtype=np.int32), r, ncb, thresh,
-            nd, rem)
+            rb_rows, nd, rem)
         return int(total), nd[:nrb], rem[:r]
 
     def blocks_fill(self, rowptr, col, value, ncb, thresh, tile_start,
-                    rem_rowptr, a, bcol, rem_col, rem_val):
+                    rem_rowptr, a, bcol, rem_col, rem_val, rb_rows=128):
         """Fill dense tiles (f32 or bf16-RNE) + remainder col/val in place."""
         is_bf16 = a.dtype.itemsize == 2
         self._dll.blocks_fill(
             rowptr, np.ascontiguousarray(col, dtype=np.int32),
-            self._fptr(value), rowptr.shape[0] - 1, ncb, thresh,
+            self._fptr(value), rowptr.shape[0] - 1, ncb, thresh, rb_rows,
             np.ascontiguousarray(tile_start, dtype=np.int64),
             np.ascontiguousarray(rem_rowptr, dtype=np.int64),
             a.ctypes.data_as(ctypes.c_void_p), 1 if is_bf16 else 0,

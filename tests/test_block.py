@@ -426,3 +426,81 @@ def test_shuffled_multicluster_train_loader_rejects_tier():
     ld1 = SubgraphLoader(data, ptr, batch_size=1, mode="gas", shuffle=True,
                          adj_format="block", block_force=True)
     assert isinstance(next(iter(ld1)).device.adj, BiBlockHybridAdj)
+
+
+class TestTallTiles:
+    """rb_rows > 128 ([rb, 128] tall tiles, r5): x-DMA amortization.
+    Equivalence vs the hybrid oracle for fwd, mean, native-vs-numpy build,
+    non-multiple row pads (internal rounding + slice), and bi-pair grads."""
+
+    def _graph(self, rng, n=600):
+        return clustered_graph(rng, n=n)
+
+    @pytest.mark.parametrize("rb", [256, 512])
+    def test_fwd_matches_hybrid(self, rng, rb):
+        g = self._graph(rng)
+        n_pad = 640  # NOT a multiple of 256/512: exercises round+slice
+        adj = build_block_hybrid(g.rowptr, g.col, g.value, n_pad, n_pad,
+                                 thresh=20, rb_rows=rb)
+        assert adj.dense.a.shape[1] == rb
+        hyb = build_hybrid_adj(g.rowptr, g.col, g.value, n_pad, n_pad)
+        x = jnp.asarray(rng.standard_normal((n_pad, 64)), jnp.float32)
+        out = spmm_block(adj, x)
+        assert out.shape == (n_pad, 64)
+        assert np.allclose(out, spmm_hybrid(hyb, x), atol=1e-4)
+        assert np.allclose(spmm_block_mean(adj, x),
+                           spmm_hybrid_mean(hyb, x), atol=1e-4)
+
+    def test_native_matches_numpy_tall(self, rng, monkeypatch):
+        from incagg_gnn_tpu.utils import native
+        g = self._graph(rng)
+        n_pad = 768
+        a1 = build_block_hybrid(g.rowptr, g.col, g.value, n_pad, n_pad,
+                                thresh=20, rb_rows=256)
+        monkeypatch.setattr(native, "get_native_lib", lambda: None)
+        a2 = build_block_hybrid(g.rowptr, g.col, g.value, n_pad, n_pad,
+                                thresh=20, rb_rows=256)
+        assert np.allclose(a1.dense.a, a2.dense.a)
+        assert np.array_equal(a1.dense.brow_step, a2.dense.brow_step)
+        assert np.array_equal(a1.dense.bcols, a2.dense.bcols)
+        x = jnp.asarray(rng.standard_normal((n_pad, 32)), jnp.float32)
+        assert np.allclose(spmm_block(a1, x), spmm_block(a2, x), atol=1e-5)
+
+    def test_bi_tall_grads_match_bihybrid(self, rng):
+        import jax
+        from incagg_gnn_tpu.ops.block import build_bi_block_hybrid, \
+            spmm_block_bi
+        from incagg_gnn_tpu.ops.ell import build_bi_hybrid_adj, spmm_bi
+        g = self._graph(rng)
+        n_pad = 640
+        bi = build_bi_block_hybrid(g.rowptr, g.col, g.value, n_pad, n_pad,
+                                   thresh=20, rb_rows=256, rb_rows_t=256)
+        hyb = build_bi_hybrid_adj(g.rowptr, g.col, g.value, n_pad, n_pad)
+        x = jnp.asarray(rng.standard_normal((n_pad, 32)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((32, 8)) * 0.1, jnp.float32)
+
+        def loss(fn, ops, v):
+            return (fn(ops, v) @ w).sum()
+
+        l1, g1 = jax.value_and_grad(lambda v: loss(spmm_block_bi, bi, v))(x)
+        l2, g2 = jax.value_and_grad(lambda v: loss(spmm_bi, hyb, v))(x)
+        assert np.allclose(l1, l2, rtol=1e-4)
+        assert np.allclose(g1, g2, atol=1e-4)
+
+    def test_plan_rb_prefers_tall_on_dense_columns(self, rng):
+        """Column-banded graphs (partition locality) keep blocks dense at
+        every height -> the cost model must pick a taller tile."""
+        from incagg_gnn_tpu.ops.block import plan_block_tier_rb
+        n = 2048
+        rows = np.repeat(np.arange(n, dtype=np.int64), 40)
+        # every row draws 40 cols from a narrow band -> vertical stripes
+        cols = (rng.integers(0, 256, rows.size)
+                + (rows // 512) * 512).astype(np.int64) % n
+        val = np.ones(rows.size, np.float32)
+        from incagg_gnn_tpu.graph.csr import CSRGraph
+        g = CSRGraph.from_coo(rows, cols, n, val, coalesce=True)
+        plan = plan_block_tier_rb(g.rowptr, g.col, n, x_itemsize=2,
+                                  a_itemsize=2)
+        assert plan is not None
+        th, rb = plan
+        assert rb > 128
