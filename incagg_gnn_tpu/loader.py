@@ -96,6 +96,7 @@ class PadBuckets:
     nb: int = 0  # padded dense-tile count, forward
     nb_t: int = 0  # padded dense-tile count, transpose ('block' format)
     blk: int = 0  # per-block edge threshold: 0 undecided, -1 tier off
+    rb: int = 128  # row-tile height ([rb, 128] tall tiles, chosen once)
 
     def fits(self, r: int, c: int, e: int) -> bool:
         return r <= self.rows and c <= self.cols and e <= self.edges
@@ -360,7 +361,7 @@ class SubgraphLoader:
         tier is off (caller falls back to the hybrid formats)."""
         from incagg_gnn_tpu.ops.block import (
             B as BLK, build_bi_block_hybrid, build_block_hybrid,
-            marginal_thresh, measure_block_tier, plan_block_tier,
+            marginal_thresh, measure_block_tier, plan_block_tier_rb,
             transpose_csr_host)
         from incagg_gnn_tpu.ops.ell import choose_k, ell_buckets
 
@@ -377,25 +378,29 @@ class SubgraphLoader:
             if not replayable and not self.block_force:
                 b.blk = -1
                 return None
-            th = plan_block_tier(
+            plan = plan_block_tier_rb(
                 rowptr, col, b.cols,
                 x_itemsize=a_itemsize, a_itemsize=a_itemsize,
                 d_hint=self.block_d_hint,
             )
-            if th is None and self.block_force:
+            th = None
+            if plan is not None:
+                th, b.rb = plan
+            elif self.block_force:
                 th = marginal_thresh(a_itemsize, a_itemsize,
                                      self.block_d_hint)
             why = "cost model: hybrid within min_gain"
             if th is not None:
                 total, rem_deg = measure_block_tier(rowptr, col, b.rows,
-                                                    b.cols, th)
+                                                    b.cols, th,
+                                                    rb_rows=b.rb)
                 measured = (th, total, rem_deg)
                 # admission requires the WHOLE batch — tiles plus the hybrid
                 # remainder and index arrays — to fit the device cache: the
                 # tier only pays device-resident (_use_device_cache uses the
                 # same accounting once buckets are final)
                 k_est = choose_k(rem_deg)
-                per = (total * BLK * BLK * a_itemsize
+                per = (total * b.rb * BLK * a_itemsize
                        + b.rows * k_est * 8 + (b.rows + b.cols) * 4
                        + int(np.maximum(rem_deg - k_est, 0).sum()) * 12)
                 if bi:  # the transpose pair roughly doubles the bytes
@@ -422,7 +427,7 @@ class SubgraphLoader:
             total, rem_deg = measured[1], measured[2]
         else:
             total, rem_deg = measure_block_tier(rowptr, col, b.rows, b.cols,
-                                                b.blk)
+                                                b.blk, rb_rows=b.rb)
         # forward-only (eval) remainders use the overflow-locality kink;
         # bi (train fwd+bwd) chains measured the opposite optimum
         # (ops/ell.choose_k docstring)
@@ -437,6 +442,7 @@ class SubgraphLoader:
             return build_block_hybrid(
                 rowptr, col, value, b.rows, b.cols, thresh=b.blk,
                 a_dtype=self.block_dtype, k=b.k, ovf_pad=b.ovf, nb_pad=b.nb,
+                rb_rows=b.rb,
             )
 
         # transpose buckets (measured on the actual transpose: its row-block
@@ -444,7 +450,8 @@ class SubgraphLoader:
         # SET is the exact transpose)
         transpose = transpose_csr_host(rowptr, col, value, b.cols)
         total_t, rem_deg_t = measure_block_tier(transpose[0], transpose[1],
-                                                b.cols, b.rows, b.blk)
+                                                b.cols, b.rows, b.blk,
+                                                rb_rows=b.rb)
         b.k_t, b.ovf_t, grew_t = _grow(
             ell_buckets([rem_deg_t], k=b.k_t, ovf=b.ovf_t,
                         locality_kink=False), b.k_t, b.ovf_t)
@@ -457,7 +464,7 @@ class SubgraphLoader:
             rowptr, col, value, b.rows, b.cols, thresh=b.blk,
             a_dtype=self.block_dtype, k=b.k, k_t=b.k_t, ovf_pad=b.ovf,
             ovf_pad_t=b.ovf_t, nb_pad=b.nb, nb_pad_t=b.nb_t,
-            transpose=transpose,
+            transpose=transpose, rb_rows=b.rb,
         )
 
     # ---------------- iteration ----------------
@@ -490,7 +497,7 @@ class SubgraphLoader:
         b = self.buckets
         per = (b.rows + b.cols) * 4 + b.edges * 12 + b.rows * (b.k + b.k_t) * 8
         if b.blk > 0:  # dense-tier tiles ride along with each batch
-            per += ((b.nb + b.nb_t) * 128 * 128
+            per += ((b.nb + b.nb_t) * b.rb * 128
                     * np.dtype(self.block_dtype).itemsize)
         budget = self.hbm_budget if self.hbm_budget is not None else 1_500_000_000
         return per * len(self) < budget

@@ -488,7 +488,7 @@ class ShardedVRTrainer:
         import ml_dtypes
 
         from incagg_gnn_tpu.ops.block import (
-            marginal_thresh, measure_block_tier, plan_block_tier,
+            marginal_thresh, measure_block_tier, plan_block_tier_rb,
             transpose_csr_host)
         from incagg_gnn_tpu.ops.ell import ell_buckets
 
@@ -501,21 +501,25 @@ class ShardedVRTrainer:
         if not batches:
             return None
         big = max(batches, key=lambda b: b.adj_args[1].size)
-        th = plan_block_tier(big.adj_args[0], big.adj_args[1], c_pad,
-                             x_itemsize=ai, a_itemsize=ai, d_hint=d_hint)
-        if th is None and force:
-            th = marginal_thresh(ai, ai, d_hint)
-        if th is None:
+        plan = plan_block_tier_rb(big.adj_args[0], big.adj_args[1], c_pad,
+                                  x_itemsize=ai, a_itemsize=ai,
+                                  d_hint=d_hint)
+        if plan is not None:
+            th, rb = plan
+        elif force:
+            th, rb = marginal_thresh(ai, ai, d_hint), 128
+        else:
             return None
 
         def size_dir(mk_csr, rp, cp):
             nb, rem_degs = 0, []
             for b in batches:
                 rowptr, col = mk_csr(b)
-                total, rem_deg = measure_block_tier(rowptr, col, rp, cp, th)
+                total, rem_deg = measure_block_tier(rowptr, col, rp, cp, th,
+                                                    rb_rows=rb)
                 nb = max(nb, total)
                 rem_degs.append(rem_deg)
-            nb = max(nb, (rp // 128) * 4)  # empty-device batches: all filler
+            nb = max(nb, -(-rp // rb) * 4)  # empty-device batches: all filler
             # eval (fwd-only) sizing uses the overflow-locality kink; bi
             # train chains measured the opposite (ops/ell.choose_k)
             k, ovf = ell_buckets(rem_degs, locality_kink=not bi)
@@ -523,7 +527,7 @@ class ShardedVRTrainer:
 
         nb, k, ovf = size_dir(lambda b: b.adj_args[:2], r_pad, c_pad)
         args = {"thresh": th, "k": k, "ovf_pad": ovf, "nb_pad": nb,
-                "a_dtype": a_dtype}
+                "a_dtype": a_dtype, "rb_rows": rb}
         tiles = nb
         if bi:
             nb_t, k_t, ovf_t = size_dir(
@@ -533,7 +537,7 @@ class ShardedVRTrainer:
             tiles += nb_t
         budget = int(os.environ.get("INCAGG_SHARD_TILE_BUDGET_MB",
                                     "4096")) << 20
-        if not force and tiles * 16384 * ai * rounds > budget:
+        if not force and tiles * rb * 128 * ai * rounds > budget:
             return None
         return args
 
@@ -693,7 +697,8 @@ class ShardedVRTrainer:
             adj = build_block_hybrid(
                 rowptr, col, value, r_pad, c_pad, thresh=fmt_args["thresh"],
                 a_dtype=fmt_args["a_dtype"], k=fmt_args["k"],
-                ovf_pad=fmt_args["ovf_pad"], nb_pad=fmt_args["nb_pad"])
+                ovf_pad=fmt_args["ovf_pad"], nb_pad=fmt_args["nb_pad"],
+                rb_rows=fmt_args.get("rb_rows", 128))
         elif fmt == "bi-block":
             from incagg_gnn_tpu.ops.block import build_bi_block_hybrid
 
@@ -702,7 +707,8 @@ class ShardedVRTrainer:
                 a_dtype=fmt_args["a_dtype"], k=fmt_args["k"],
                 k_t=fmt_args["k_t"], ovf_pad=fmt_args["ovf_pad"],
                 ovf_pad_t=fmt_args["ovf_pad_t"], nb_pad=fmt_args["nb_pad"],
-                nb_pad_t=fmt_args["nb_pad_t"])
+                nb_pad_t=fmt_args["nb_pad_t"],
+                rb_rows=fmt_args.get("rb_rows", 128))
         elif fmt == "bi":
             adj = build_bi_hybrid_adj(rowptr, col, value, r_pad, c_pad, **fmt_args)
         elif fmt == "fwd":
