@@ -43,6 +43,18 @@ CANDS = {
                       label_noise=0.15),
     "c32f16n12": dict(num_classes=32, num_features=16, feature_noise=12.0,
                       label_noise=0.15),
+    # depth-limited regime: at deg 50 / p_in 0.8 ONE hop averages away any
+    # moderate feature noise, so GCN always reaches the ceiling.  Crank the
+    # noise past the one-hop budget (sigma >> sqrt(50)) and/or starve the
+    # label rate so long-range propagation (GCNII/APPNP's edge) is needed.
+    "n20": dict(num_classes=16, num_features=32, feature_noise=20.0,
+                label_noise=0.15),
+    "n30": dict(num_classes=16, num_features=32, feature_noise=30.0,
+                label_noise=0.15),
+    "n20tf1": dict(num_classes=16, num_features=32, feature_noise=20.0,
+                   label_noise=0.15, train_frac=0.01),
+    "n30tf1": dict(num_classes=16, num_features=32, feature_noise=30.0,
+                   label_noise=0.15, train_frac=0.01),
 }
 
 
@@ -55,9 +67,10 @@ def run_one(cand: dict, model_name: str, seed: int, epochs: int) -> float:
                                        GCN2, GCN2Config)
     from incagg_gnn_tpu.train.trainer import Trainer, TrainerConfig
 
-    data, in_c, out_c = make_sbm(
-        num_nodes=50_000, avg_degree=50.0, p_in=0.8, train_frac=0.05,
-        seed=seed, **cand)
+    kw = dict(num_nodes=50_000, avg_degree=50.0, p_in=0.8, train_frac=0.05,
+              seed=seed)
+    kw.update(cand)
+    data, in_c, out_c = make_sbm(**kw)
     common = dict(num_nodes=data.num_nodes, in_channels=in_c,
                   out_channels=out_c, hidden_channels=64, dropout=0.3)
     if model_name == "gcn":

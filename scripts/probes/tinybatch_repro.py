@@ -38,7 +38,7 @@ N_ROWS = 1408  # the crashing padded batch height
 K = 8
 D = 256
 HIDDEN = 256
-ITERS = 40  # the r2 crash fired within ~5 dispatches when it fired
+ITERS = int(os.environ.get("INCAGG_REPRO_ITERS", "40"))  # r2 crash fired within ~5 dispatches
 
 
 def build_batches(count: int = 1):
@@ -140,19 +140,22 @@ def run_variant(name: str) -> None:
     else:
         tx, opt_state = None, ()
 
-    def agg(b, xx):
+    def agg(b, xx, tabs):
         if use_vrpull:
             # VR-shaped: fresh IB aggregation of (x - M_in) + cached M_ag
-            # (gcn_conv_vr structure, two stop-grad table gathers per layer)
-            m_in = jax.lax.stop_gradient(jnp.take(t_in, b[1], axis=0))
+            # (gcn_conv_vr structure, two stop-grad table gathers per layer).
+            # NOTE the tables are jit ARGUMENTS (as in the real trainer) —
+            # closed-over [N, D] constants exceed the remote-compile
+            # tunnel's request limit (HTTP 413) and never reach the chip.
+            m_in = jax.lax.stop_gradient(jnp.take(tabs[0], b[1], axis=0))
             if name == "vrpull_1table":
                 return spmm_bi(b[0], xx - m_in)
-            m_ag = jax.lax.stop_gradient(jnp.take(t_ag, b[1], axis=0))
+            m_ag = jax.lax.stop_gradient(jnp.take(tabs[1], b[1], axis=0))
             return spmm_bi(b[0], xx - m_in) + m_ag
         return spmm_bi(b[0], xx)
 
-    def forward(p, state, b, xx, key):
-        h = agg(b, xx)
+    def forward(p, state, b, xx, key, tabs):
+        h = agg(b, xx, tabs)
         if not use_linear:
             return h.sum(), state
         h = h @ p["w1"]
@@ -166,7 +169,7 @@ def run_variant(name: str) -> None:
         if use_dropout:
             keep = jax.random.bernoulli(key, 0.7, h.shape)
             h = jnp.where(keep, h / 0.7, 0.0)
-        h = agg(b, h)
+        h = agg(b, h, tabs)
         logits = h @ p["w2"]
         valid = jnp.arange(N_ROWS) < n0
         ll = jax.nn.log_softmax(logits)
@@ -174,9 +177,9 @@ def run_variant(name: str) -> None:
         return loss, state
 
     @jax.jit
-    def step(p, o, state, b, xx, key):
+    def step(p, o, state, b, xx, key, tabs):
         (loss, state), g = jax.value_and_grad(
-            forward, argnums=0, has_aux=True)(p, state, b, xx, key)
+            forward, argnums=0, has_aux=True)(p, state, b, xx, key, tabs)
         if use_adam:
             upd, o = tx.update(g, o, p)
             p = jax.tree.map(lambda a, b2: a + b2, p, upd)
@@ -204,10 +207,11 @@ def run_variant(name: str) -> None:
         rng, key = jax.random.split(rng)
         b = dev_batches[i % len(dev_batches)]
         if name == "vrpull_fwdonly":
-            loss, bn_state = fwd_jit(params, bn_state, b, x, key)
+            loss, bn_state = fwd_jit(params, bn_state, b, x, key,
+                                     (t_in, t_ag))
         else:
             params, opt_state, bn_state, loss = step(
-                params, opt_state, bn_state, b, x, key)
+                params, opt_state, bn_state, b, x, key, (t_in, t_ag))
         jax.block_until_ready(loss)
     print(f"CLEAN {name}: {ITERS} dispatches, last loss "
           f"{float(loss):.4f} [{time.time()-t0:.0f}s]")

@@ -1,17 +1,24 @@
 """Toolchain gate for the tiny-batch XLA:TPU worker fault (VERDICT r4 #6).
 
-The composed program "small ELL-gather aggregation + two large-table row
-gathers in one jit" deterministically kills the v5e TPU worker at ~1.4K-row
-shapes (docs/XLA_TINYBATCH_BUG.md; 40-line repro
-`scripts/probes/tinybatch_repro.py vrpull_fwdonly`).  The shipped
-mitigation routes `adj_format=auto` train batches below 4096 rows to COO
-(`tests/test_spmm_loader.py::TestAutoFormatGate` pins the threshold).
+Small ELL-gather aggregation composed with history-table gathers in one
+jit kills the v5e TPU worker at ~1.4K-row shapes (docs/XLA_TINYBATCH_BUG.md).
+The shipped mitigation routes `adj_format=auto` train batches below 4096
+rows to COO (`tests/test_spmm_loader.py::TestAutoFormatGate` pins the
+threshold).
 
-This test runs the repro on the real chip in a subprocess and EXPECTS the
-crash.  The moment a jax/jaxlib/libtpu bump fixes the fault upstream, the
-repro comes back CLEAN and this test FAILS LOUDLY with instructions to
-relax the auto-COO gate — the same run-on-every-toolchain-bump pattern as
-`scripts/probes/mosaic_reprobe.py` for the Mosaic gather gap.
+This test runs the ORIGINAL crashing command — `main.py` on the arxiv-shape
+SBM at 150 single-cluster parts with `adj_format=hybrid` forced — on the
+real chip in a subprocess, and EXPECTS the device loss (main.py classifies
+it and exits `DEVICE_LOSS_EXIT`).  The moment a jax/jaxlib/libtpu bump
+fixes the fault, training completes and this test FAILS LOUDLY with
+instructions to relax the auto-COO gate — the run-on-every-toolchain-bump
+pattern of `scripts/probes/mosaic_reprobe.py`.
+
+Why main.py and not the 40-line repro: the repro's closure-constant tables
+no longer COMPILE through the remote-compile tunnel (HTTP 413), and the
+argument-passing rewrite runs clean 200+ dispatches (r5 bisection fact:
+table-operand form matters) — while the real trainer path still crashes
+deterministically during epoch 0.  The gate guards the real path.
 
 Full tier only (needs the attached TPU; smoke tests run on the CPU mesh).
 """
@@ -23,14 +30,20 @@ import sys
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-REPRO = os.path.join(REPO, "scripts", "probes", "tinybatch_repro.py")
 
-# Substrings that identify the KNOWN fault signature (vs an unrelated
-# failure, which must fail this test with the full output).
+DEVICE_LOSS_EXIT = 23  # main.py's dedicated device-loss exit code
+
 FAULT_MARKS = (
-    "TPU device error", "kernel fault", "UNAVAILABLE", "ABORTED",
-    "TPU backend error", "DataLoss",
+    "device loss", "TPU worker process crashed", "TPU device error",
+    "kernel fault", "UNAVAILABLE", "ABORTED", "TPU backend error",
+    "DataLoss",
 )
+
+CMD = [
+    "main.py", "--model", "conf/model/gcn.yaml", "--dataset", "sbm-arxiv",
+    "num_parts=150", "batch_size=1", "epochs=1", "vr_update=true",
+    "adj_format=hybrid", "log_every=1000",
+]
 
 
 def _tpu_env():
@@ -38,6 +51,7 @@ def _tpu_env():
     (axon/TPU) platform selection applies."""
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    env.pop("INCAGG_PLATFORM", None)
     flags = env.get("XLA_FLAGS", "")
     flags = " ".join(f for f in flags.split()
                      if "xla_force_host_platform_device_count" not in f)
@@ -61,27 +75,28 @@ def test_tinybatch_fault_still_present():
 
     try:
         pr = subprocess.run(
-            [sys.executable, REPRO, "vrpull_fwdonly"],
+            [sys.executable] + CMD,
             capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
     except subprocess.TimeoutExpired:
-        # a worker crash can wedge the runtime rather than raise — the
-        # bisection driver counts a hang as the fault; so do we
+        # a worker crash can wedge the runtime rather than raise — count a
+        # hang as the fault (the r4 bisection driver did the same)
         return
 
     out = pr.stdout + pr.stderr
-    if pr.returncode == 0 and "CLEAN" in pr.stdout:
-        pytest.fail(
-            "tinybatch repro (vrpull_fwdonly) ran CLEAN on this toolchain — "
-            "the XLA:TPU tiny-batch fault appears FIXED upstream.  Action: "
-            "re-run `python scripts/probes/tinybatch_repro.py driver` to "
-            "confirm (2 reps per variant), then relax the <4096-row auto-COO "
-            "gate (incagg_gnn_tpu/loader.py adj_format=auto policy + "
-            "tests/test_spmm_loader.py::TestAutoFormatGate), update "
-            "docs/XLA_TINYBATCH_BUG.md Status, and flip this test to assert "
-            "CLEAN.")
-    if any(m in out for m in FAULT_MARKS):
+    if pr.returncode == DEVICE_LOSS_EXIT or any(m in out
+                                                for m in FAULT_MARKS):
         return  # the known fault, still present — gate stays on
+    if pr.returncode == 0:
+        pytest.fail(
+            "the tiny-batch trigger command (main.py sbm-arxiv 150 parts "
+            "adj_format=hybrid) completed CLEAN on this toolchain — the "
+            "XLA:TPU fault appears FIXED upstream.  Action: re-run it "
+            "2-3x to confirm, then relax the <4096-row auto-COO gate "
+            "(incagg_gnn_tpu/loader.py adj_format=auto policy + "
+            "tests/test_spmm_loader.py::TestAutoFormatGate), update "
+            "docs/XLA_TINYBATCH_BUG.md Status, and flip this test to "
+            "assert CLEAN.")
     pytest.fail(
-        f"repro failed for an UNRECOGNIZED reason (rc={pr.returncode}) — "
-        f"not the known TPU fault signature.  Output tail:\n"
-        + "\n".join(out.strip().splitlines()[-15:]))
+        f"trigger command failed for an UNRECOGNIZED reason "
+        f"(rc={pr.returncode}) — not the known TPU fault signature.  "
+        f"Output tail:\n" + "\n".join(out.strip().splitlines()[-15:]))
