@@ -194,6 +194,25 @@ _SBM_HARD_PRESETS = {
         num_nodes=50_000, num_classes=16, num_features=64, avg_degree=50.0,
         p_in=0.8, feature_noise=8.0, train_frac=0.05, label_noise=0.25,
     ),
+    # v4 DISCRIMINATIVE products proxy (VERDICT r4 #4): v3's 0.25-label-noise
+    # ceiling pinned every architecture at 0.766 to 3 decimals — zero power
+    # to see a model-specific regression.  v4 opens a gap below a higher
+    # ceiling (label_noise 0.15 -> 0.852) by hardening the feature geometry
+    # (64 near-overlapping classes, 16 features): GCN pins the ceiling
+    # (0.853) while GCNII trains ~1 pt BELOW it (0.843) — a separated,
+    # regression-sensitive value.  The r5 calibration sweep
+    # (scripts/probes/_prodhard_sweep.py, docs/RESULTS.md) shows the
+    # REAL-products ordering (GCNII > GCN) is not expressible in this
+    # generator family: identity-propagation models are strictly the
+    # fragile ones here (collapse under feature noise >= 20, power-law
+    # hubs, or p_in near their 0.35-0.4 phase transition), and
+    # BatchNorm rescues even 8-layer GCN from oversmoothing (equal-depth
+    # probe: GCN-8L 0.839 ~= GCNII-8L 0.838).  What the suite pins instead:
+    # per-model values separated by >> seed noise, GAS<->Reverb parity.
+    "sbm-products-hard-v4": dict(
+        num_nodes=50_000, num_classes=64, num_features=16, avg_degree=50.0,
+        p_in=0.8, feature_noise=8.0, train_frac=0.05, label_noise=0.15,
+    ),
     # Adversarial staleness preset (VERDICT r3 weak #4): power-law hubs +
     # lower homophily make out-of-batch pulls COMMON (uniform SBMs keep
     # them rare by construction), so frozen/stale caches must visibly cost

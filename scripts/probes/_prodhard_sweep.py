@@ -55,10 +55,17 @@ CANDS = {
                    label_noise=0.15, train_frac=0.01),
     "n30tf1": dict(num_classes=16, num_features=32, feature_noise=30.0,
                    label_noise=0.15, train_frac=0.01),
+    # power-law hubs: hub neighborhoods are class-mixed, punishing naive
+    # averaging — the structural axis where initial-residual models can win
+    "pl": dict(num_classes=16, num_features=32, feature_noise=10.0,
+               label_noise=0.15, degree_skew=0.8, p_in=0.55),
+    "pln16": dict(num_classes=16, num_features=32, feature_noise=16.0,
+                  label_noise=0.15, degree_skew=0.8, p_in=0.55),
 }
 
 
-def run_one(cand: dict, model_name: str, seed: int, epochs: int) -> float:
+def run_one(cand: dict, model_name: str, seed: int, epochs: int,
+            layers: int | None = None) -> float:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -74,10 +81,10 @@ def run_one(cand: dict, model_name: str, seed: int, epochs: int) -> float:
     common = dict(num_nodes=data.num_nodes, in_channels=in_c,
                   out_channels=out_c, hidden_channels=64, dropout=0.3)
     if model_name == "gcn":
-        model = GCN(GCNConfig(num_layers=3, drop_input=False,
+        model = GCN(GCNConfig(num_layers=layers or 3, drop_input=False,
                               batch_norm=True, **common))
     elif model_name == "gcn2":
-        model = GCN2(GCN2Config(num_layers=4, drop_input=False,
+        model = GCN2(GCN2Config(num_layers=layers or 4, drop_input=False,
                                 batch_norm=True, alpha=0.1, theta=0.5,
                                 **common))
     elif model_name == "appnp":
