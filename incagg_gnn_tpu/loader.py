@@ -391,27 +391,44 @@ class SubgraphLoader:
                                      self.block_d_hint)
             why = "cost model: hybrid within min_gain"
             if th is not None:
-                total, rem_deg = measure_block_tier(rowptr, col, b.rows,
-                                                    b.cols, th,
-                                                    rb_rows=b.rb)
-                measured = (th, total, rem_deg)
                 # admission requires the WHOLE batch — tiles plus the hybrid
                 # remainder and index arrays — to fit the device cache: the
                 # tier only pays device-resident (_use_device_cache uses the
-                # same accounting once buckets are final)
-                k_est = choose_k(rem_deg)
-                per = (total * b.rb * BLK * a_itemsize
-                       + b.rows * k_est * 8 + (b.rows + b.cols) * 4
-                       + int(np.maximum(rem_deg - k_est, 0).sum()) * 12)
-                if bi:  # the transpose pair roughly doubles the bytes
-                    per *= 2
+                # same accounting once buckets are final).  Tall tiles
+                # inflate adjacency bytes ~rb/128 x, so on a residency miss
+                # fall back to SHORTER tiles before giving the tier up
+                # (r5: products-mid picked rb=512 whose tiles blew the
+                # budget 8x while the classic rb=128 tier fits and wins)
                 budget = (self.hbm_budget if self.hbm_budget is not None
                           else 1_500_000_000)
-                if not self.block_force and per * len(self) > budget:
-                    # uniform low block density => tiling ~= densifying the
-                    # whole batch; streaming that is a net loss
+                for rb_try in [r for r in (b.rb, 256, 128) if r <= b.rb]:
+                    plan_try = (th, rb_try) if rb_try == b.rb else \
+                        plan_block_tier_rb(
+                            rowptr, col, b.cols, x_itemsize=a_itemsize,
+                            a_itemsize=a_itemsize,
+                            d_hint=self.block_d_hint,
+                            rb_candidates=(rb_try,))
+                    if plan_try is None:
+                        continue
+                    th_try, rb_try = plan_try
+                    total, rem_deg = measure_block_tier(
+                        rowptr, col, b.rows, b.cols, th_try,
+                        rb_rows=rb_try)
+                    k_est = choose_k(rem_deg)
+                    per = (total * rb_try * BLK * a_itemsize
+                           + b.rows * k_est * 8 + (b.rows + b.cols) * 4
+                           + int(np.maximum(rem_deg - k_est, 0).sum()) * 12)
+                    if bi:  # the transpose pair roughly doubles the bytes
+                        per *= 2
+                    if self.block_force or per * len(self) <= budget:
+                        th, b.rb = th_try, rb_try
+                        measured = (th, total, rem_deg)
+                        break
                     why = (f"residency budget: ~{per * len(self) >> 20} MB"
-                           f" of tiles+batch over {budget >> 20} MB")
+                           f" of tiles+batch over {budget >> 20} MB "
+                           f"(rb={rb_try})")
+                    th = None
+                else:
                     th = None
             b.blk = th if th is not None else -1
             import logging
