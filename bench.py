@@ -66,15 +66,16 @@ D = 256
 ROOFLINE_F32 = HBM_BW / (3 * D * 4)  # 266.6M edges/s — the fixed baseline
 
 # Committed prior-round per-row values (edges/s) — the regression guard.
-# All rows: BENCH_r04.json driver-captured values (bucketed-ELL levels +
-# gather-emitter fast-class padding harness).
+# All rows: round-5 tall-tile values re-confirmed on the v5e 2026-08-22
+# (arxiv 159.2M/79.1M, products 458.8M/232.7M, reddit fwd 441.1M match
+# the docs/RESULTS.md r5 table within 1%; reddit train from that table).
 PRIOR = {
-    ("arxiv", "fwd"): 152.9e6,
-    ("products", "fwd"): 349.5e6,
-    ("reddit", "fwd"): 385.0e6,
-    ("arxiv", "train"): 77.6e6,
-    ("products", "train"): 190.4e6,
-    ("reddit", "train"): 197.2e6,
+    ("arxiv", "fwd"): 159.2e6,
+    ("products", "fwd"): 458.8e6,
+    ("reddit", "fwd"): 441.1e6,
+    ("arxiv", "train"): 79.1e6,
+    ("products", "train"): 232.7e6,
+    ("reddit", "train"): 222.3e6,
 }
 GUARD_RATIO = 0.7
 
