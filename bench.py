@@ -56,6 +56,7 @@ twice per step: A@x forward, A^T@g backward).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -278,14 +279,19 @@ def main():
         ("products", 100_000, 50.0, "block", "bf16", 80, 16),
         ("reddit", 233_000, 100.0, "block", "bf16", 200, 41),
     ]
+    # dev filter: INCAGG_BENCH_ONLY="reddit:train" re-measures one row
+    # without the ~12-min full sweep (driver runs always do the full suite)
+    only = os.environ.get("INCAGG_BENCH_ONLY", "")
     suite = []
     for args in shapes:
         for kind in ("fwd", "train"):
+            if only and f"{args[0]}:{kind}" != only:
+                continue
             row = _bench_shape(*args, kind=kind)
             suite.append(row)
             print(f"# {row}", file=sys.stderr)
 
-    head = max((r for r in suite if r["kind"] == "fwd"),
+    head = max([r for r in suite if r["kind"] == "fwd"] or suite,
                key=lambda r: r["vs_baseline"])
     regressions = [f"{r['shape']}/{r['kind']}" for r in suite
                    if r.get("regressed")]
